@@ -1,0 +1,140 @@
+"""Recurrent 4x VSR inference as one compiled ``lax.scan`` program.
+
+The reference's inference loop (main.py:173-220) round-trips every frame
+host<->device twice (`.cuda()`/`.cpu()` at main.py:195,203,214).  Here the
+carried SR state lives on-device for the whole clip: frame 0 runs with zero
+feedback (main.py:191-193); each later frame warps the previous SR output by
+the pseudo-flow, packs it space-to-depth, concatenates the next LR frame and
+calls the generator (main.py:199-216).
+
+Also provides a streaming API with an explicit carried state for webcam /
+long-video use (experimental/live.py semantics), and a batched scene mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TecoConfig
+from ..models import Generator
+from ..ops.image import nchw_to_nhwc, nhwc_to_nchw, deprocess
+from ..ops.resize import upscale_four
+from ..ops.space import space_to_depth
+from ..ops.warp import grid_sample
+
+
+def _pseudo_flow_grid_nhwc(prev_lr: jnp.ndarray, parity_half: bool) -> jnp.ndarray:
+    """Pseudo-flow grid for NHWC frames, preserving the reference's raw
+    NCHW view semantics (train.py:71-77,96): compute in NCHW then reshape."""
+    lr_nchw = nhwc_to_nchw(prev_lr)
+    up = upscale_four(lr_nchw * 4.0, layout="NCHW")[:, 0:2]
+    B, _, H4, W4 = up.shape
+    grid = up.reshape(B, H4, W4, 2)
+    if parity_half:
+        grid = grid.astype(jnp.float16).astype(jnp.float32)
+    return grid
+
+
+def sr_step(gen, params_g, prev_sr_nhwc, prev_lr_nhwc, cur_lr_nhwc, parity_half=True):
+    """One recurrent step: (prev SR, prev LR, current LR) -> current SR.
+
+    All NHWC. prev_sr: (B, 4H, 4W, 3); lr frames: (B, H, W, 3).
+    """
+    grid = _pseudo_flow_grid_nhwc(prev_lr_nhwc, parity_half)
+    warped = grid_sample(prev_sr_nhwc, grid)
+    feedback = space_to_depth(deprocess(warped))  # (B, H, W, 48)
+    inp = jnp.concatenate([cur_lr_nhwc, feedback], axis=-1)
+    return gen.apply({"params": params_g}, inp)
+
+
+def first_frame(gen, params_g, lr0_nhwc):
+    """Frame 0: 48 zero feedback channels (main.py:191-196)."""
+    B, H, W, _ = lr0_nhwc.shape
+    inp = jnp.concatenate(
+        [lr0_nhwc, jnp.zeros((B, H, W, 48), lr0_nhwc.dtype)], axis=-1
+    )
+    return gen.apply({"params": params_g}, inp)
+
+
+def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
+    """Returns jitted ``infer(params_g, lr_clip) -> sr_clip``.
+
+    lr_clip: (B, T, H, W, 3) NHWC float [0,1];
+    sr_clip: (B, T, 4H, 4W, 3).
+    """
+    if gen is None:
+        gen, _ = _default_models(cfg)
+
+    def infer(params_g, lr_clip):
+        B, T, H, W, C = lr_clip.shape
+        sr0 = first_frame(gen, params_g, lr_clip[:, 0])
+
+        frames = jnp.moveaxis(lr_clip, 1, 0)  # (T, B, H, W, 3)
+
+        def body(carry, xs):
+            prev_sr = carry
+            prev_lr, cur_lr = xs
+            sr = sr_step(gen, params_g, prev_sr, prev_lr, cur_lr,
+                         parity_half=cfg.bug_parity)
+            return sr, sr
+
+        _, rest = jax.lax.scan(body, sr0, (frames[:-1], frames[1:]))
+        sr_clip = jnp.concatenate([sr0[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
+        return sr_clip
+
+    return jax.jit(infer) if cfg.jit else infer
+
+
+class StreamState(NamedTuple):
+    """Carried state for streaming inference (experimental/live.py)."""
+
+    prev_sr: jnp.ndarray  # (B, 4H, 4W, 3)
+    prev_lr: jnp.ndarray  # (B, H, W, 3)
+    initialized: jnp.ndarray  # scalar bool
+
+
+def build_stream_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
+    """Returns (init_fn, step_fn) for O(1)-state streaming SR.
+
+    step_fn(params, state, lr_frame) -> (new_state, sr_frame); the first
+    call runs the zero-feedback path, later calls the warp-feedback path —
+    one compiled program via lax.cond.
+    """
+    if gen is None:
+        gen, _ = _default_models(cfg)
+
+    def init_fn(lr_shape) -> StreamState:
+        B, H, W, C = lr_shape
+        return StreamState(
+            prev_sr=jnp.zeros((B, 4 * H, 4 * W, 3), jnp.float32),
+            prev_lr=jnp.zeros((B, H, W, C), jnp.float32),
+            initialized=jnp.zeros((), jnp.bool_),
+        )
+
+    def step_fn(params_g, state: StreamState, lr_frame):
+        def cold(_):
+            return first_frame(gen, params_g, lr_frame)
+
+        def warm(_):
+            return sr_step(
+                gen, params_g, state.prev_sr, state.prev_lr, lr_frame,
+                parity_half=cfg.bug_parity,
+            )
+
+        sr = jax.lax.cond(state.initialized, warm, cold, None)
+        new_state = StreamState(
+            prev_sr=sr, prev_lr=lr_frame, initialized=jnp.ones((), jnp.bool_)
+        )
+        return new_state, sr
+
+    return init_fn, (jax.jit(step_fn) if cfg.jit else step_fn)
+
+
+def _default_models(cfg: TecoConfig):
+    from .state import model_defs
+
+    return model_defs(cfg)

@@ -1,0 +1,91 @@
+"""The jitted TecoGAN train step.
+
+One compiled XLA program replaces the reference's eager per-batch flow
+(main.py:270-275 -> code/train.py:374-377 -> TecoGAN): generator unroll,
+triplet assembly, both losses, and both Adam updates — no host round-trips.
+Two optimizers share a single generator forward: the G gradient comes from
+``value_and_grad`` over the full objective; the D gradient re-runs only the
+(small) discriminator on the stop-gradient'ed triplet inputs carried in aux.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TecoConfig
+from .losses import tecogan_losses, discriminator_loss
+from .state import TrainState, make_optimizers, model_defs, lr_schedule
+
+
+def build_train_step(cfg: TecoConfig, vgg_apply=None, donate: bool = True):
+    """Returns ``train_step(state, lr_batch, hr_batch) -> (state, metrics)``.
+
+    lr_batch: (B, T, 3, H, W), hr_batch: (B, T, 3, 4H, 4W), both f32 [0,1]
+    (the reference's loader emits exactly these: main.py:270-272).
+    """
+    gen, disc = model_defs(cfg)
+    opt_g_tx, opt_d_tx, sched = make_optimizers(cfg)
+
+    def train_step(state: TrainState, lr_batch, hr_batch):
+        lr_now = sched(state.epoch)
+
+        def gen_objective(params_g):
+            return tecogan_losses(
+                gen, disc, params_g, state.params_d, state.batch_stats_d,
+                lr_batch, hr_batch, state.step, cfg, vgg_apply,
+            )
+
+        (gen_loss, aux), grads_g = jax.value_and_grad(
+            gen_objective, has_aux=True
+        )(state.params_g)
+
+        def disc_objective(params_d):
+            return discriminator_loss(
+                disc, params_d, state.batch_stats_d,
+                aux["real_in"], aux["fake_in"], cfg,
+            )
+
+        (d_loss, new_stats), grads_d = jax.value_and_grad(
+            disc_objective, has_aux=True
+        )(state.params_d)
+
+        # Adam updates at the current StepLR rate (main.py:239-248,296-297).
+        opt_g_state = state.opt_g
+        opt_g_state.hyperparams["learning_rate"] = lr_now
+        updates_g, opt_g_state = opt_g_tx.update(grads_g, opt_g_state, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates_g)
+
+        d_scale = 1.0 if cfg.Dt_mergeDs else 0.3
+        opt_d_state = state.opt_d
+        opt_d_state.hyperparams["learning_rate"] = lr_now * d_scale
+        updates_d, opt_d_state = opt_d_tx.update(grads_d, opt_d_state, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates_d)
+
+        metrics = dict(aux["metrics"])
+        metrics["learning_rate"] = lr_now
+        metrics["d_loss"] = d_loss
+        metrics["gen_loss"] = gen_loss
+
+        new_state = TrainState(
+            params_g=params_g,
+            params_d=params_d,
+            batch_stats_d=new_stats,
+            opt_g=opt_g_state,
+            opt_d=opt_d_state,
+            step=state.step + 1,
+            epoch=state.epoch,
+        )
+        return new_state, metrics, aux["gen_outputs"]
+
+    if cfg.jit:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def set_epoch(state: TrainState, epoch: int) -> TrainState:
+    return state.replace(epoch=jnp.asarray(epoch, jnp.int32))

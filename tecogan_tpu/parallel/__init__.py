@@ -1,0 +1,15 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    replicate_state,
+)
+from .dp import build_dp_train_step, build_dp_inference
+
+__all__ = [
+    "DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding", "replicated",
+    "shard_batch", "replicate_state", "build_dp_train_step", "build_dp_inference",
+]

@@ -1,0 +1,52 @@
+"""Data-parallel training wiring.
+
+One jitted SPMD program: the batch is sharded over the ``data`` mesh axis,
+the train state is replicated, and XLA inserts the gradient all-reduce over
+ICI (the only collective this workload needs for parity — SURVEY.md §2.2).
+The loss means in ``engine/losses.py`` are global means, so the partitioner
+lowers them to ``psum``-based cross-replica reductions automatically.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TecoConfig
+from ..engine.train import build_train_step
+from .mesh import DATA_AXIS, batch_sharding, replicated
+
+
+def build_dp_train_step(cfg: TecoConfig, mesh: Mesh, vgg_apply=None, donate=True):
+    """Jitted data-parallel train step with explicit shardings.
+
+    Usage:
+      state = replicate_state(mesh, init_state(cfg, rng))
+      lr, hr = shard_batch(mesh, lr_np, hr_np)
+      state, metrics, _ = dp_step(state, lr, hr)
+    """
+    base_cfg = cfg.replace(jit=False)
+    step_fn = build_train_step(base_cfg, vgg_apply=vgg_apply, donate=False)
+
+    repl = replicated(mesh)
+    batched = batch_sharding(mesh)
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batched, batched),
+        out_shardings=(repl, repl, batched),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def build_dp_inference(cfg: TecoConfig, mesh: Mesh):
+    """Data-parallel clip inference: scenes sharded over the data axis."""
+    from ..engine.inference import build_clip_inference
+
+    base_cfg = cfg.replace(jit=False)
+    infer = build_clip_inference(base_cfg)
+    return jax.jit(
+        infer,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )

@@ -1,0 +1,165 @@
+"""Train-step tests: one full TecoGAN step runs, losses are finite, params
+move, and the parity detach quirks hold (G grads come from content loss
+only in bug_parity mode — SURVEY.md §5.1.2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.engine import init_state, build_train_step, set_epoch
+from tecogan_tpu.engine.losses import tecogan_losses, pingpang_extend
+from tecogan_tpu.engine.state import model_defs, lr_schedule
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        crop_size=8, RNN_N=9, num_resblock=2, discrim_resblocks=1,
+        discrim_channels=16, batch_size=2, precision="fp32", jit=True,
+    )
+    base.update(kw)
+    return TecoConfig(**base)
+
+
+def make_batch(cfg, rng, B=2):
+    lr = rng.random((B, cfg.RNN_N, 3, cfg.crop_size, cfg.crop_size)).astype(np.float32)
+    hr = rng.random((B, cfg.RNN_N, 3, cfg.crop_size * 4, cfg.crop_size * 4)).astype(np.float32)
+    return jnp.asarray(lr), jnp.asarray(hr)
+
+
+def test_train_step_runs_and_updates(rng):
+    cfg = tiny_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(cfg, donate=False)
+    lr, hr = make_batch(cfg, rng)
+    new_state, metrics, gen_out = step_fn(state, lr, hr)
+
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["l2_content_loss"]))
+    assert gen_out.shape == (2, cfg.RNN_N, 3, 32, 32)
+    assert int(new_state.step) == 1
+
+    # both models' params must move
+    g_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     state.params_g, new_state.params_g),
+    )
+    d_delta = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     state.params_d, new_state.params_d),
+    )
+    assert g_delta > 0
+    assert d_delta > 0
+
+
+def test_metrics_names_match_reference_update_list():
+    """The reference's update_list_name set (code/train.py:120-121,230-351)
+    must all be emitted."""
+    cfg = tiny_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(cfg, donate=False)
+    rng = np.random.default_rng(0)
+    lr, hr = make_batch(cfg, rng)
+    _, metrics, _ = step_fn(state, lr, hr)
+    expected = {
+        "l2_content_loss", "l2_warp_loss",
+        "D_layer_0_loss", "D_layer_1_loss", "D_layer_2_loss", "D_layer_3_loss",
+        "D_layer_loss_sum", "t_adversarial_loss", "t_discrim_loss",
+        "t_discrim_real_output", "t_discrim_fake_output", "All_loss_Gen",
+        "t_balance", "Dst_ratio",
+    }
+    assert expected.issubset(set(metrics.keys()))
+
+
+def test_parity_gen_grads_are_content_only(rng):
+    """bug_parity: adversarial & layer losses are detached and the
+    recurrence is cut, so dGenLoss/dparams_g == dContent/dparams_g
+    (train.py:90,108,219,288)."""
+    cfg = tiny_cfg(bug_parity=True)
+    state = init_state(cfg, jax.random.PRNGKey(1))
+    gen, disc = model_defs(cfg)
+    lr, hr = make_batch(cfg, rng)
+
+    def full_loss(pg):
+        loss, _ = tecogan_losses(
+            gen, disc, pg, state.params_d, state.batch_stats_d,
+            lr, hr, jnp.zeros((), jnp.int32), cfg,
+        )
+        return loss
+
+    def content_only(pg):
+        _, aux = tecogan_losses(
+            gen, disc, pg, state.params_d, state.batch_stats_d,
+            lr, hr, jnp.zeros((), jnp.int32), cfg,
+        )
+        return aux["metrics"]["l2_content_loss"]
+
+    g_full = jax.grad(full_loss)(state.params_g)
+    g_content = jax.grad(content_only)(state.params_g)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_full, g_content)
+    assert max(jax.tree.leaves(diffs)) < 1e-6
+
+
+def test_fixed_mode_gen_grads_include_adversarial(rng):
+    """bug_parity=False: the adversarial term must contribute G gradient."""
+    cfg = tiny_cfg(bug_parity=False)
+    state = init_state(cfg, jax.random.PRNGKey(1))
+    gen, disc = model_defs(cfg)
+    lr, hr = make_batch(cfg, rng)
+
+    def full_loss(pg):
+        loss, _ = tecogan_losses(
+            gen, disc, pg, state.params_d, state.batch_stats_d,
+            lr, hr, jnp.zeros((), jnp.int32), cfg,
+        )
+        return loss
+
+    def content_only(pg):
+        _, aux = tecogan_losses(
+            gen, disc, pg, state.params_d, state.batch_stats_d,
+            lr, hr, jnp.zeros((), jnp.int32), cfg,
+        )
+        return aux["metrics"]["l2_content_loss"]
+
+    g_full = jax.grad(full_loss)(state.params_g)
+    g_content = jax.grad(content_only)(state.params_g)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_full, g_content)
+    assert max(jax.tree.leaves(diffs)) > 1e-8
+
+
+def test_pingpang_extends_and_runs(rng):
+    clip = jnp.asarray(rng.random((1, 4, 3, 2, 2)).astype(np.float32))
+    ext = pingpang_extend(clip)
+    assert ext.shape == (1, 7, 3, 2, 2)
+    np.testing.assert_allclose(np.asarray(ext[:, 4]), np.asarray(clip[:, 2]))
+
+    cfg = tiny_cfg(pingpang=True, RNN_N=3)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(cfg, donate=False)
+    lr, hr = make_batch(cfg, rng)
+    _, metrics, gen_out = step_fn(state, lr, hr)
+    assert "PingPang" in metrics
+    assert gen_out.shape[1] == 2 * cfg.RNN_N - 1
+
+
+def test_lr_schedule_steplr():
+    cfg = tiny_cfg(learning_rate=1e-4, decay_step=250, decay_rate=0.8)
+    sched = lr_schedule(cfg)
+    np.testing.assert_allclose(float(sched(jnp.asarray(0))), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(249))), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(250))), 0.8e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(jnp.asarray(500))), 0.64e-4, rtol=1e-6)
+
+
+def test_set_epoch_changes_lr(rng):
+    cfg = tiny_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    state = set_epoch(state, 250)
+    step_fn = build_train_step(cfg, donate=False)
+    lr, hr = make_batch(cfg, rng)
+    _, metrics, _ = step_fn(state, lr, hr)
+    np.testing.assert_allclose(float(metrics["learning_rate"]), 0.8e-4, rtol=1e-6)
