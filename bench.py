@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Headline benchmark: recurrent 4x VSR inference throughput, 270p -> 1080p
+(BASELINE.md target: > 30 fps/chip on TPU v5e).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "fps/chip", "vs_baseline": N}
+
+The measured program is the full recurrent pipeline per frame — pseudo-flow
+upsample, warp of the previous 1080p SR frame, space-to-depth feedback,
+generator forward — as one jitted lax.scan with the carried state
+on-device (engine/inference.py), bf16 compute.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0  # BASELINE.md: >30 fps/chip 270p->1080p on v5e
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.engine import init_state
+    from tecogan_tpu.engine.inference import build_clip_inference
+
+    # 270p -> 1080p: LR 480x270, 4x -> 1920x1080.
+    H, W = 270, 480
+    T = int(os.environ.get("BENCH_FRAMES", "32"))
+
+    cfg = TecoConfig(precision="bf16", num_resblock=16, bug_parity=False)
+    # crop_size only drives init shapes; inference is shape-polymorphic.
+    state = init_state(cfg.replace(crop_size=8), jax.random.PRNGKey(0))
+    params_g = state.params_g
+
+    infer = build_clip_inference(cfg)
+
+    rng = np.random.default_rng(0)
+    clip = jnp.asarray(rng.random((1, T, H, W, 3), np.float32))
+
+    # compile + warm at the SAME shape as the timed run; force a scalar
+    # device->host fetch to drain the execution queue (block_until_ready
+    # alone does not synchronize through the remote-TPU tunnel).
+    out = infer(params_g, clip)
+    _ = float(jnp.sum(out[:, -1, ::271]))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.time()
+    for _ in range(reps):
+        out = infer(params_g, clip)
+    _ = float(jnp.sum(out[:, -1, ::271]))  # queue drain
+    dt = (time.time() - t0) / reps
+    fps = T / dt
+
+    assert out.shape == (1, T, 1080, 1920, 3), out.shape
+
+    print(
+        json.dumps(
+            {
+                "metric": "recurrent_4x_vsr_inference_270p_to_1080p",
+                "value": round(fps, 2),
+                "unit": "fps/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

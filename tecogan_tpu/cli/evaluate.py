@@ -1,0 +1,172 @@
+"""Quality evaluation harness (new capability — the reference computes no
+metrics at all: compute_psnr exists but is never called, code/ops.py:130-139;
+BASELINE.md requires PSNR within 0.1 dB and LPIPS parity).
+
+Modes:
+  * --sr_dir vs --hr_dir: per-frame PSNR/SSIM (+ VGG perceptual distance if
+    --vgg_ckpt given) between two frame folders or two media files.
+  * --g_checkpoint + --input_dir_HR: run the model on LR-downscaled HR
+    scenes and score SR against the original HR (the standard VSR eval).
+
+Outputs one JSON line per clip plus an aggregate line.
+
+Usage:
+  python -m tecogan_tpu.cli.evaluate --g_checkpoint g.ckpt \
+      --input_dir_HR <scene_root> [--crop_size 64] [--limit_frames 40]
+  python -m tecogan_tpu.cli.evaluate --sr_dir out/ --hr_dir gt/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _load_frames(path: str) -> np.ndarray:
+    """Load a media file or a directory of frames -> (T, H, W, 3) [0,1]."""
+    import cv2
+
+    if os.path.isdir(path):
+        from ..data.scenes import _load_png
+
+        names = sorted(os.listdir(path))
+        return np.stack([_load_png(os.path.join(path, n)) for n in names])
+    if path.lower().endswith(".gif"):
+        import imageio
+
+        frames = imageio.mimread(path)
+        return np.stack([np.asarray(f)[..., :3] for f in frames]).astype(np.float32) / 255.0
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0)
+    cap.release()
+    return np.stack(frames)
+
+
+def score_pair(sr: np.ndarray, hr: np.ndarray, vgg_params=None) -> dict:
+    import jax.numpy as jnp
+
+    from ..ops.metrics import psnr, ssim, vgg_perceptual_distance
+
+    T = min(len(sr), len(hr))
+    sr, hr = jnp.asarray(sr[:T]), jnp.asarray(hr[:T])
+    out = {
+        "frames": int(T),
+        "psnr_db": float(psnr(hr, sr)),
+        "ssim": float(ssim(sr, hr)),
+    }
+    if vgg_params is not None:
+        from ..models.vgg import vgg19_features
+
+        layers = ("vgg_19/conv2_2", "vgg_19/conv3_4", "vgg_19/conv4_4")
+        fx = vgg19_features(vgg_params, sr, deep_list=layers)
+        fy = vgg19_features(vgg_params, hr, deep_list=layers)
+        out["vgg_dist"] = float(vgg_perceptual_distance(fx, fy, layers))
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sr_dir", default=None)
+    p.add_argument("--hr_dir", default=None)
+    p.add_argument("--g_checkpoint", default=None)
+    p.add_argument("--input_dir_HR", default=None)
+    p.add_argument("--crop_size", type=int, default=64,
+                   help="LR size for model eval (HR = 4x)")
+    p.add_argument("--num_resblock", type=int, default=16)
+    p.add_argument("--limit_frames", type=int, default=-1)
+    p.add_argument("--limit_clips", type=int, default=-1)
+    p.add_argument("--vgg_ckpt", default=None)
+    p.add_argument("--bug_parity", default=True, type=lambda v: v in ("1", "true", "True"))
+    args = p.parse_args(argv)
+
+    vgg_params = None
+    if args.vgg_ckpt:
+        from ..utils.checkpoint import load_flat
+
+        flat, _ = load_flat(args.vgg_ckpt)
+        # rebuild nested dict from flat paths
+        vgg_params = {}
+        for k, v in flat.items():
+            parts = k.split("//")[1:]  # drop model_state_dict
+            d = vgg_params
+            for part in parts[:-1]:
+                d = d.setdefault(part, {})
+            d[parts[-1]] = v
+
+    results = []
+
+    if args.sr_dir and args.hr_dir:
+        sr = _load_frames(args.sr_dir)
+        hr = _load_frames(args.hr_dir)
+        if args.limit_frames > 0:
+            sr, hr = sr[: args.limit_frames], hr[: args.limit_frames]
+        if sr.shape[1:3] != hr.shape[1:3]:
+            import cv2
+
+            hr = np.stack(
+                [cv2.resize(f, (sr.shape[2], sr.shape[1])) for f in hr]
+            )
+        rec = {"clip": "pair", **score_pair(sr, hr, vgg_params)}
+        print(json.dumps(rec))
+        results.append(rec)
+    elif args.g_checkpoint and args.input_dir_HR:
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from ..config import TecoConfig
+        from ..engine import init_state, build_clip_inference
+        from ..utils.checkpoint import load_generator_params
+
+        cfg = TecoConfig(
+            crop_size=args.crop_size, num_resblock=args.num_resblock,
+            bug_parity=args.bug_parity,
+        )
+        state = init_state(cfg.replace(crop_size=8), jax.random.PRNGKey(0))
+        params_g = load_generator_params(args.g_checkpoint, state.params_g)
+        infer = build_clip_inference(cfg)
+
+        clips = sorted(os.listdir(args.input_dir_HR))
+        if args.limit_clips > 0:
+            clips = clips[: args.limit_clips]
+        for name in clips:
+            hr = _load_frames(os.path.join(args.input_dir_HR, name))
+            if args.limit_frames > 0:
+                hr = hr[: args.limit_frames]
+            hr_size = args.crop_size * 4
+            hr = np.stack([cv2.resize(f, (hr_size, hr_size)) for f in hr])
+            lr = np.stack(
+                [cv2.resize(f, (args.crop_size, args.crop_size),
+                            interpolation=cv2.INTER_AREA) for f in hr]
+            )
+            sr = np.asarray(infer(params_g, jnp.asarray(lr)[None])[0])
+            rec = {"clip": name, **score_pair(sr, hr, vgg_params)}
+            print(json.dumps(rec))
+            results.append(rec)
+    else:
+        raise SystemExit(
+            "need either (--sr_dir and --hr_dir) or "
+            "(--g_checkpoint and --input_dir_HR)"
+        )
+
+    agg = {
+        "clip": "__aggregate__",
+        "clips": len(results),
+        "psnr_db": float(np.mean([r["psnr_db"] for r in results])),
+        "ssim": float(np.mean([r["ssim"] for r in results])),
+    }
+    if vgg_params is not None:
+        agg["vgg_dist"] = float(np.mean([r["vgg_dist"] for r in results]))
+    print(json.dumps(agg))
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,7 @@ class TecoConfig:
     prefetch: int = 2  # device prefetch depth for the input pipeline
     log_every: int = 10  # steps between metric lines
     checkpoint_every: int = 1  # epochs between checkpoint saves
+    steps_per_epoch: int = -1  # cap batches per epoch (-1 = full epoch)
     jit: bool = True  # disable only for debugging
 
     # ------------------------------------------------------------------
@@ -206,6 +207,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefetch", default=d.prefetch, type=int)
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--checkpoint_every", default=d.checkpoint_every, type=int)
+    p.add_argument("--steps_per_epoch", default=d.steps_per_epoch, type=int)
     p.add_argument("--jit", default=d.jit, type=str2bool)
     return p
 

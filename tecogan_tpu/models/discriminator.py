@@ -90,6 +90,9 @@ class Discriminator(nn.Module):
         net = _DiscBlock(64, dtype=dt, name="block4")(net, train)
         layer_list.append(net)
         net = _DiscBlock(3, dtype=dt, name="block5")(net, train)
-        net = net.reshape(net.shape[0], -1)  # fc size inferred, not hardcoded
+        # Flatten in NCHW order (torch net.view(B, -1) on NCHW,
+        # models.py:143) so reference fc weights convert 1:1; size is
+        # inferred, not hardcoded (fixes SURVEY §5.1.6).
+        net = jnp.transpose(net, (0, 3, 1, 2)).reshape(net.shape[0], -1)
         score = nn.sigmoid(Dense(1, dtype=dt, name="fc")(net).astype(jnp.float32))
         return score, layer_list

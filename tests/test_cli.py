@@ -1,0 +1,206 @@
+"""CLI surface tests: flag parity with the reference (names + defaults,
+main.py:33-127), end-to-end train epoch, checkpoint resume, and inference
+modes through the real entry point."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tecogan_tpu.config import TecoConfig, build_parser, parse_config
+from tecogan_tpu.data import write_synthetic_scene_folders
+
+
+REFERENCE_FLAG_DEFAULTS = {
+    # exact surface of /root/reference/main.py:33-127
+    "rand_seed": 1,
+    "input_dir_LR": "",
+    "input_dir_len": -1,
+    "input_dir_HR": "",
+    "mode": "train",
+    "output_dir": "output",
+    "output_pre": "",
+    "output_name": "output",
+    "output_ext": "jpg",
+    "summary_dir": "summary",
+    "videotype": ".mp4",
+    "inferencetype": "dataset",
+    "g_checkpoint": None,
+    "d_checkpoint": None,
+    "num_resblock": 16,
+    "discrim_resblocks": 4,
+    "discrim_channels": 128,
+    "pre_trained_model": False,
+    "vgg_ckpt": None,
+    "cudaID": "0",
+    "queue_thread": 8,
+    "RNN_N": 10,
+    "batch_size": 4,
+    "flip": True,
+    "random_crop": True,
+    "movingFirstFrame": True,
+    "crop_size": 32,
+    "input_video_dir": "../TrainingDataPath",
+    "input_video_pre": "scene",
+    "str_dir": 1000,
+    "end_dir": 1400,
+    "end_dir_val": 2050,
+    "max_frm": 119,
+    "vgg_scaling": -0.002,
+    "warp_scaling": 1.0,
+    "pingpang": False,
+    "pp_scaling": 1.0,
+    "EPS": 1e-12,
+    "learning_rate": 1e-4,
+    "decay_step": 250,
+    "decay_rate": 0.8,
+    "stair": False,
+    "beta": 0.9,
+    "adameps": 1e-8,
+    "max_epochs": 10_000_000,
+    "ratio": 0.01,
+    "Dt_mergeDs": True,
+    "Dt_ratio_0": 1.0,
+    "Dt_ratio_add": 0.0,
+    "Dt_ratio_max": 1.0,
+    "Dbalance": 0.4,
+    "crop_dt": 0.75,
+    "D_LAYERLOSS": True,
+}
+
+
+def test_flag_surface_matches_reference():
+    cfg = parse_config([])
+    for name, default in REFERENCE_FLAG_DEFAULTS.items():
+        assert hasattr(cfg, name), f"missing reference flag --{name}"
+        got = getattr(cfg, name)
+        assert got == default or (got is None and default is None), (
+            f"--{name}: default {got!r} != reference {default!r}"
+        )
+
+
+def test_str2bool_spellings():
+    parser = build_parser()
+    for spelling, want in [("yes", True), ("t", True), ("1", True),
+                           ("no", False), ("f", False), ("0", False)]:
+        ns = parser.parse_args(["--pingpang", spelling])
+        assert ns.pingpang is want
+
+
+FAST_ENV = None
+
+
+def run_cli(args, cwd):
+    """Run the real repo-root main.py in a subprocess on CPU."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disable remote-TPU sitecustomize
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+    return subprocess.run(
+        [sys.executable, "/root/repo/main.py"] + args,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
+    )
+
+
+FAST_FLAGS = [
+    "--crop_size", "8", "--RNN_N", "9", "--num_resblock", "2",
+    "--discrim_resblocks", "1", "--discrim_channels", "16",
+    "--precision", "fp32", "--batch_size", "2", "--queue_thread", "2",
+    "--steps_per_epoch", "3",
+]
+
+
+@pytest.fixture(scope="module")
+def cli_workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data = str(root / "TrainingDataPath")
+    write_synthetic_scene_folders(data, num_scenes=1, frames_per_scene=120, size=48)
+    return root, data
+
+
+@pytest.mark.slow
+def test_cli_train_then_inference(cli_workspace):
+    root, data = cli_workspace
+    out_dir = str(root / "output")
+    summary_dir = str(root / "summary")
+
+    r = run_cli(
+        ["--mode", "train", "--input_video_dir", data,
+         "--str_dir", "1000", "--end_dir", "1000",
+         "--output_dir", out_dir, "--summary_dir", summary_dir,
+         "--max_epochs", "1"] + FAST_FLAGS,
+        cwd=str(root),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "Epoch: 1" in r.stdout
+    assert os.path.exists(os.path.join(out_dir, "generator.ckpt"))
+    assert os.path.exists(os.path.join(out_dir, "discrim.ckpt"))
+    assert os.path.exists(os.path.join(out_dir, "gan.gif"))
+    assert os.path.exists(os.path.join(out_dir, "Gan_examples.jpg"))
+    # summary JSONL has the reference metric names
+    jsonl = os.path.join(summary_dir, "train_metrics.jsonl")
+    assert os.path.exists(jsonl)
+    rec = json.loads(open(jsonl).readline())
+    assert "l2_content_loss" in rec and "t_discrim_loss" in rec
+
+    # resume for one more epoch
+    r2 = run_cli(
+        ["--mode", "train", "--input_video_dir", data,
+         "--str_dir", "1000", "--end_dir", "1000",
+         "--output_dir", out_dir, "--summary_dir", summary_dir,
+         "--max_epochs", "2", "--pre_trained_model", "True"] + FAST_FLAGS,
+        cwd=str(root),
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from epoch" in r2.stdout
+
+    # inference (dataset mode) from the trained checkpoint
+    r3 = run_cli(
+        ["--mode", "inference", "--inferencetype", "dataset",
+         "--input_dir_LR", data,
+         "--g_checkpoint", os.path.join(out_dir, "generator.ckpt"),
+         "--output_dir", out_dir] + FAST_FLAGS,
+        cwd=str(root),
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert os.path.exists(os.path.join(out_dir, "output0.mp4"))
+
+
+@pytest.mark.slow
+def test_cli_inference_video_mode(cli_workspace):
+    root, data = cli_workspace
+    out_dir = str(root / "output_vid")
+
+    # make a small mp4 input
+    import cv2
+
+    vid = str(root / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 24, (48, 48))
+    from tecogan_tpu.data import moving_rect_scene
+
+    for f in moving_rect_scene(8, 48, 48):
+        w.write(cv2.cvtColor((f * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+    w.release()
+
+    ck = str(root / "output" / "generator.ckpt")
+    if not os.path.exists(ck):
+        pytest.skip("train test did not run first")
+    r = run_cli(
+        ["--mode", "inference", "--inferencetype", "video",
+         "--input_dir_LR", vid, "--g_checkpoint", ck,
+         "--output_dir", out_dir, "--videotype", ".gif"] + FAST_FLAGS,
+        cwd=str(root),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(out_dir, "output0.gif"))
+
+
+def test_cli_inference_requires_checkpoint(tmp_path):
+    cfg_err = run_cli(["--mode", "inference", "--inferencetype", "dataset",
+                       "--input_dir_LR", str(tmp_path)], cwd=str(tmp_path))
+    assert cfg_err.returncode != 0
+    assert "checkpoint file is needed" in (cfg_err.stderr + cfg_err.stdout)

@@ -1,0 +1,90 @@
+"""Distributed tests on the 8-virtual-CPU-device mesh (SURVEY.md §4c):
+DP train step runs sharded, matches the single-device step numerically,
+and the driver's dryrun_multichip contract holds."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.engine import init_state, build_train_step
+from tecogan_tpu.parallel import (
+    make_mesh,
+    build_dp_train_step,
+    replicate_state,
+    shard_batch,
+)
+
+
+def cfg8(**kw):
+    base = dict(
+        crop_size=8, RNN_N=9, num_resblock=1, discrim_resblocks=1,
+        discrim_channels=16, batch_size=8, precision="fp32",
+    )
+    base.update(kw)
+    return TecoConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def batch8():
+    rng = np.random.default_rng(0)
+    lr = rng.random((8, 9, 3, 8, 8)).astype(np.float32)
+    hr = rng.random((8, 9, 3, 32, 32)).astype(np.float32)
+    return lr, hr
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(4, 2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_dp_step_runs_sharded(batch8):
+    cfg = cfg8()
+    mesh = make_mesh(8)
+    state = replicate_state(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+    step = build_dp_train_step(cfg, mesh, donate=False)
+    lr, hr = shard_batch(mesh, *batch8)
+    new_state, metrics, gen_out = step(state, lr, hr)
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+    # batch outputs stay sharded over data axis
+    assert gen_out.shape[0] == 8
+
+
+def test_dp_matches_single_device(batch8):
+    """Same math on 8 shards vs 1 device (global-mean losses => identical
+    gradients up to float tolerance)."""
+    cfg = cfg8()
+    lr_np, hr_np = batch8
+
+    single = build_train_step(cfg, donate=False)
+    s1 = init_state(cfg, jax.random.PRNGKey(0))
+    s1b, m1, _ = single(s1, jnp.asarray(lr_np), jnp.asarray(hr_np))
+
+    mesh = make_mesh(8)
+    s2 = replicate_state(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+    dp = build_dp_train_step(cfg, mesh, donate=False)
+    lr, hr = shard_batch(mesh, lr_np, hr_np)
+    s2b, m2, _ = dp(s2, lr, hr)
+
+    np.testing.assert_allclose(
+        float(m1["gen_loss"]), float(m2["gen_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m1["d_loss"]), float(m2["d_loss"]), rtol=1e-5
+    )
+    # parameters after one step must agree
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1b.params_g, s2b.params_g
+    )
+    assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_dryrun_multichip(n):
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(n)

@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Convert reference PyTorch checkpoints (generator.pt / discrim.pt,
+saved by /root/reference/main.py:308-317) into tecogan_tpu .ckpt files,
+and torchvision VGG19 state dicts into VGG feature-extractor params.
+
+Layout mapping (torch -> flax/NHWC):
+  Conv2d.weight (O, I, kh, kw)          -> kernel (kh, kw, I, O)
+  ConvTranspose2d.weight (I, O, kh, kw) -> kernel (kh, kw, I, O), spatially
+      flipped (our ConvTranspose2x runs a forward conv over the
+      lhs-dilated input; see tecogan_tpu/models/layers.py)
+  Linear.weight (O, I)                  -> kernel (I, O)
+  BatchNorm2d weight/bias/running_*     -> scale/bias + batch_stats
+
+The generator fc-free topology maps 1:1; module index -> name tables below
+follow the reference ModuleList/Sequential ordering (code/models.py:61-146).
+
+Usage:
+  python tools/convert_torch_ckpt.py --torch generator.pt --arch generator \
+      --out generator.ckpt [--num_resblock 16]
+  python tools/convert_torch_ckpt.py --torch vgg19.pth --arch vgg19 --out vgg.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _conv(sd, prefix, bias=True):
+    w = sd[f"{prefix}.weight"].numpy()  # (O, I, kh, kw)
+    out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"].numpy()
+    return out
+
+
+def _conv_tran(sd, prefix):
+    w = sd[f"{prefix}.weight"].numpy()  # (I, O, kh, kw)
+    k = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()  # flip spatial
+    out = {"kernel": k}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"].numpy()
+    return out
+
+
+def _bn(sd, prefix):
+    return (
+        {"scale": sd[f"{prefix}.weight"].numpy(), "bias": sd[f"{prefix}.bias"].numpy()},
+        {"mean": sd[f"{prefix}.running_mean"].numpy(), "var": sd[f"{prefix}.running_var"].numpy()},
+    )
+
+
+def _resblock(sd, prefix):
+    """reference residual_block = Sequential(conv, ReLU, conv-nobias)
+    (code/models.py:54-58) -> our ResidualBlock {Conv_0, Conv_1}."""
+    return {
+        "Conv_0": _conv(sd, f"{prefix}.0"),
+        "Conv_1": _conv(sd, f"{prefix}.2", bias=False),
+    }
+
+
+def convert_generator(sd, num_resblock=16):
+    """Map the reference generator state dict (code/models.py:61-86)."""
+    p = {}
+    p["conv_in"] = _conv(sd, "conv.0")
+    for i in range(num_resblock):
+        p[f"resblock_{i}"] = _resblock(sd, f"resids.{i}")
+    # conv_trans Sequential (models.py:72-75):
+    # 0 convT64, 1 ReLU, 2 resblock64, 3 resblock(64->128), 4 convT128,
+    # 5 ReLU, 6 conv(128->64), 7 ReLU
+    p["up1"] = _conv_tran(sd, "conv_trans.0")
+    p["trunk_rb1"] = _resblock(sd, "conv_trans.2")
+    p["trunk_rb2"] = _resblock(sd, "conv_trans.3")
+    p["up2"] = _conv_tran(sd, "conv_trans.4")
+    p["conv_hr"] = _conv(sd, "conv_trans.6")
+    p["conv_out"] = _conv(sd, "output")
+    return p
+
+
+def convert_discriminator(sd, resblocks=4):
+    """Map the reference discriminator (code/models.py:97-146)."""
+    params, stats = {}, {}
+    params["conv_in"] = _conv(sd, "conv.0")
+
+    def block(name, prefix):
+        params[name] = {"Conv_0": _conv(sd, f"{prefix}.0", bias=False)}
+        bn_p, bn_s = _bn(sd, f"{prefix}.1")
+        params[name]["BatchNorm_0"] = bn_p
+        stats[name] = {"BatchNorm_0": bn_s}
+
+    def resgroup(name, prefix):
+        params[name], stats[name] = {}, {}
+        for i in range(resblocks):
+            # Sequential(residual_block, batchnorm) (models.py:105-106)
+            params[name][f"rb_{i}"] = _resblock(sd, f"{prefix}.{i}.0")
+            bn_p, bn_s = _bn(sd, f"{prefix}.{i}.1")
+            params[name][f"bn_{i}"] = bn_p
+            stats[name][f"bn_{i}"] = bn_s
+
+    block("block1", "block1")
+    resgroup("resids1", "resids1")
+    block("block2", "block2")
+    resgroup("resids2", "resids2")
+    block("block3", "block3")
+    resgroup("resids3", "resids3")
+    block("block4", "block4")
+    block("block5", "block5")
+    w = sd["fc.weight"].numpy()  # (1, 48)
+    params["fc"] = {"kernel": w.T, "bias": sd["fc.bias"].numpy()}
+    return params, stats
+
+
+_VGG_TORCHVISION_IDX = [  # torchvision vgg19.features conv indices, in order
+    0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34,
+]
+_VGG_NAMES = [
+    "conv1_1", "conv1_2", "conv2_1", "conv2_2",
+    "conv3_1", "conv3_2", "conv3_3", "conv3_4",
+    "conv4_1", "conv4_2", "conv4_3", "conv4_4",
+    "conv5_1", "conv5_2", "conv5_3", "conv5_4",
+]
+
+
+def convert_vgg19(sd):
+    """torchvision vgg19 (features.N.weight) -> our VGG19 params."""
+    p = {}
+    for idx, name in zip(_VGG_TORCHVISION_IDX, _VGG_NAMES):
+        key = f"features.{idx}"
+        if f"{key}.weight" not in sd:  # allow bare "0.weight" dicts too
+            key = str(idx)
+        p[name] = _conv(sd, key)
+    return p
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--torch", required=True, help="input .pt/.pth file")
+    ap.add_argument("--arch", required=True,
+                    choices=["generator", "discriminator", "vgg19"])
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num_resblock", type=int, default=16)
+    ap.add_argument("--discrim_resblocks", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    import torch
+
+    sys.path.insert(0, "/root/repo")
+    from tecogan_tpu.utils.checkpoint import save_pytree
+
+    raw = torch.load(args.torch, map_location="cpu", weights_only=False)
+    sd = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
+    epoch = raw.get("epoch", 0) if isinstance(raw, dict) else 0
+
+    if args.arch == "generator":
+        params = convert_generator(sd, args.num_resblock)
+        save_pytree(args.out, {"model_state_dict": params}, meta={"epoch": epoch})
+    elif args.arch == "discriminator":
+        params, stats = convert_discriminator(sd, args.discrim_resblocks)
+        save_pytree(args.out, {"model_state_dict": params, "batch_stats": stats})
+    else:
+        params = convert_vgg19(sd)
+        save_pytree(args.out, {"model_state_dict": params})
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
