@@ -65,7 +65,8 @@ def test_clip_shapes_and_pairing(scene_root):
 def test_augmentation_is_clip_consistent(scene_root):
     """Random crop/flip must be identical across all frames of a clip
     (the intent of main.py:81-84; reference misaligned frame 0)."""
-    cfg = make_cfg(scene_root, random_crop=True, flip=True)
+    cfg = make_cfg(scene_root, random_crop=True, flip=True,
+                   movingFirstFrame=False)
     ds = TrainDataset(cfg)
     rng = np.random.default_rng(3)
     lr, hr = ds.get_clip(5, rng)
@@ -75,6 +76,23 @@ def test_augmentation_is_clip_consistent(scene_root):
     d01 = np.abs(hr[0] - hr[1]).mean()
     d12 = np.abs(hr[1] - hr[2]).mean()
     assert d01 < 4 * d12 + 0.05
+
+
+def test_moving_first_frame_synthesizes_motion(scene_root):
+    """movingFirstFrame clips are built from frame 0 with constant sliding
+    motion (intent of main.py:83-84; the reference never wired the flag)."""
+    cfg = make_cfg(scene_root, movingFirstFrame=True, random_crop=False,
+                   flip=False)
+    ds = TrainDataset(cfg)
+    hit = False
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        p = rng.random()  # mirror of the dataset's trigger draw
+        lr, hr = ds.get_clip(0, np.random.default_rng(seed))
+        assert lr.shape == (9, 3, 8, 8)
+        if p < 0.3:
+            hit = True
+    assert hit, "movingFirstFrame never triggered in 20 seeds"
 
 
 def test_batches_shapes_and_batch_size(scene_root):
