@@ -101,6 +101,29 @@ def run_train(cfg: TecoConfig) -> None:
         raise ValueError("no eligible scenes found under input_video_dir")
     print(f"dataset: {len(dataset.scenes)} scenes, {len(dataset)} windows")
 
+    # VGG perceptual loss (off unless vgg_scaling > 0; the reference's
+    # --vgg_ckpt was parsed but never loaded, main.py:69)
+    vgg_apply = None
+    if cfg.vgg_scaling > 0.0:
+        if not cfg.vgg_ckpt:
+            raise ValueError("--vgg_scaling > 0 requires --vgg_ckpt")
+        from ..models.vgg import vgg19_features
+        from ..utils.checkpoint import load_flat
+
+        flat, _ = load_flat(cfg.vgg_ckpt)
+        vgg_params: dict = {}
+        for k, v in flat.items():
+            parts = k.split("//")
+            if parts[0] == "model_state_dict":
+                parts = parts[1:]
+            d = vgg_params
+            for part in parts[:-1]:
+                d = d.setdefault(part, {})
+            d[parts[-1]] = jnp.asarray(v)
+
+        def vgg_apply(images01_nhwc, deep_list):
+            return vgg19_features(vgg_params, images01_nhwc, deep_list)
+
     state = init_state(cfg, jax.random.PRNGKey(cfg.rand_seed))
 
     devices = jax.devices()
@@ -109,12 +132,12 @@ def run_train(cfg: TecoConfig) -> None:
     sharding = None
     if use_dp:
         mesh = make_mesh(n_data)
-        step_fn = build_dp_train_step(cfg, mesh)
+        step_fn = build_dp_train_step(cfg, mesh, vgg_apply=vgg_apply)
         state = replicate_state(mesh, state)
         sharding = batch_sharding(mesh)
         print(f"data-parallel over {n_data} devices")
     else:
-        step_fn = build_train_step(cfg)
+        step_fn = build_train_step(cfg, vgg_apply=vgg_apply)
 
     current_epoch = 0
     if cfg.pre_trained_model:
@@ -142,9 +165,16 @@ def run_train(cfg: TecoConfig) -> None:
         n_batches = 0
         lr_np = hr_np = gen_out = None
         for batch_idx, (lr_np, hr_np) in enumerate(batches):
+            # profiling window (SURVEY.md §5 tracing row): steps 10-15 of
+            # the first profiled epoch land in --profile_dir
+            if cfg.profile_dir and epoch == current_epoch and batch_idx == 10:
+                jax.profiler.start_trace(cfg.profile_dir)
             state, metrics, gen_out = step_fn(
                 state, jnp.asarray(lr_np), jnp.asarray(hr_np)
             )
+            if cfg.profile_dir and epoch == current_epoch and batch_idx == 15:
+                jax.block_until_ready(state)
+                jax.profiler.stop_trace()
             # epoch running means (main.py:280-282)
             g = float(metrics["gen_loss"])
             d = float(metrics["d_loss"])

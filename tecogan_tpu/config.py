@@ -116,6 +116,7 @@ class TecoConfig:
     log_every: int = 10  # steps between metric lines
     checkpoint_every: int = 1  # epochs between checkpoint saves
     steps_per_epoch: int = -1  # cap batches per epoch (-1 = full epoch)
+    profile_dir: str = ""  # capture a jax.profiler trace of steps 10-15
     jit: bool = True  # disable only for debugging
 
     # ------------------------------------------------------------------
@@ -208,6 +209,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--checkpoint_every", default=d.checkpoint_every, type=int)
     p.add_argument("--steps_per_epoch", default=d.steps_per_epoch, type=int)
+    p.add_argument("--profile_dir", default=d.profile_dir)
     p.add_argument("--jit", default=d.jit, type=str2bool)
     return p
 

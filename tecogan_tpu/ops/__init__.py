@@ -17,6 +17,13 @@ from .image import (
     to_uint8,
 )
 from .metrics import psnr, psnr_255, ssim, vgg_perceptual_distance
+from .extras import (
+    pixelshuffle,
+    phase_shift,
+    random_flip,
+    random_flip_batch,
+    gaussian_2dkernel,
+)
 
 __all__ = [
     "space_to_depth", "depth_to_space", "space_to_depth_nchw",
@@ -26,4 +33,6 @@ __all__ = [
     "nchw_to_nhwc", "nhwc_to_nchw",
     "save_as_media", "save_img", "save_image_grid", "to_uint8",
     "psnr", "psnr_255", "ssim", "vgg_perceptual_distance",
+    "pixelshuffle", "phase_shift", "random_flip", "random_flip_batch",
+    "gaussian_2dkernel",
 ]
