@@ -69,22 +69,42 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     if gen is None:
         gen, _ = _default_models(cfg)
 
+    # Fast path (engine/fused.py): patch-gather warp + re-tiled first conv
+    # + bf16 carried state, equivalent to float tolerance; exact
+    # torch-semantics path kept for bug_parity runs.
+    use_fused = cfg.use_pallas and not cfg.bug_parity
+    if use_fused:
+        import dataclasses
+
+        gen_fast = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
+
     def infer(params_g, lr_clip):
         B, T, H, W, C = lr_clip.shape
-        sr0 = first_frame(gen, params_g, lr_clip[:, 0])
+        if use_fused:
+            sr0 = first_frame(gen_fast, params_g, lr_clip[:, 0])
+        else:
+            sr0 = first_frame(gen, params_g, lr_clip[:, 0])
 
         frames = jnp.moveaxis(lr_clip, 1, 0)  # (T, B, H, W, 3)
 
         def body(carry, xs):
             prev_sr = carry
             prev_lr, cur_lr = xs
-            sr = sr_step(gen, params_g, prev_sr, prev_lr, cur_lr,
-                         parity_half=cfg.bug_parity)
+            if use_fused:
+                from .fused import fused_sr_step
+
+                sr = fused_sr_step(
+                    gen_fast, {"params": params_g}, params_g, prev_sr,
+                    prev_lr, cur_lr, parity_half=False,
+                )
+            else:
+                sr = sr_step(gen, params_g, prev_sr, prev_lr, cur_lr,
+                             parity_half=cfg.bug_parity)
             return sr, sr
 
         _, rest = jax.lax.scan(body, sr0, (frames[:-1], frames[1:]))
         sr_clip = jnp.concatenate([sr0[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
-        return sr_clip
+        return sr_clip.astype(jnp.float32)
 
     return jax.jit(infer) if cfg.jit else infer
 

@@ -14,6 +14,12 @@ Topology (4x SR, NHWC):
 
 Per the reference README (README.md:19) there is NO bilinear skip
 connection — the network learns the full 4x upsample.
+
+``tail`` is exposed separately so the fused inference path
+(engine/fused.py) can compute the first layer as
+conv_lr(lr) + stride-4-conv(warped HR) — mathematically identical to
+space-to-depth + concat + conv_in but without materializing the
+48-channel feedback tensor.
 """
 
 from __future__ import annotations
@@ -30,22 +36,42 @@ class Generator(nn.Module):
     num_resblock: int = 16
     out_channels: int = 3
     dtype: Any = jnp.float32
+    # output/sigmoid dtype: f32 by default; the fast inference path carries
+    # bf16 SR state between frames (quantization floor ~50 dB, far above
+    # VSR PSNR levels)
+    out_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        dt = self.dtype
+        self.conv_in = Conv(64, 3, 1, dtype=dt, name="conv_in")
+        self.resblocks = [
+            ResidualBlock(64, dtype=dt, name=f"resblock_{i}")
+            for i in range(self.num_resblock)
+        ]
+        self.up1 = ConvTranspose2x(64, dtype=dt, name="up1")
+        self.trunk_rb1 = ResidualBlock(64, dtype=dt, name="trunk_rb1")
+        self.trunk_rb2 = ResidualBlock(128, dtype=dt, name="trunk_rb2")
+        self.up2 = ConvTranspose2x(128, dtype=dt, name="up2")
+        self.conv_hr = Conv(64, 3, 1, dtype=dt, name="conv_hr")
+        self.conv_out = Conv(self.out_channels, 3, 1, dtype=dt, name="conv_out")
+
     def __call__(self, x):
         """x: (B, H, W, 51) -> (B, 4H, 4W, out_channels) in [0, 1]."""
-        dt = self.dtype
-        net = nn.relu(Conv(64, 3, 1, dtype=dt, name="conv_in")(x))
-        for i in range(self.num_resblock):
-            net = ResidualBlock(64, dtype=dt, name=f"resblock_{i}")(net) + net
-        net = nn.relu(ConvTranspose2x(64, dtype=dt, name="up1")(net))
+        return self.tail(nn.relu(self.conv_in(x)))
+
+    def tail(self, net):
+        """Everything after the first activation: net (B, H, W, 64) ->
+        (B, 4H, 4W, out) in [0, 1]."""
+        for block in self.resblocks:
+            net = block(net) + net
+        net = nn.relu(self.up1(net))
         # used as plain conv stacks in the reference's Sequential trunk
-        net = ResidualBlock(64, dtype=dt, name="trunk_rb1")(net)
-        net = ResidualBlock(128, dtype=dt, name="trunk_rb2")(net)
-        net = nn.relu(ConvTranspose2x(128, dtype=dt, name="up2")(net))
-        net = nn.relu(Conv(64, 3, 1, dtype=dt, name="conv_hr")(net))
-        net = Conv(self.out_channels, 3, 1, dtype=dt, name="conv_out")(net)
-        return nn.sigmoid(net.astype(jnp.float32))
+        net = self.trunk_rb1(net)
+        net = self.trunk_rb2(net)
+        net = nn.relu(self.up2(net))
+        net = nn.relu(self.conv_hr(net))
+        net = self.conv_out(net)
+        return nn.sigmoid(net.astype(self.out_dtype))
 
     @staticmethod
     def input_channels(sr_channels: int = 3, block: int = 4) -> int:

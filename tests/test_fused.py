@@ -1,0 +1,105 @@
+"""Fused fast-path equivalence: the patch-gather warp and the re-tiled
+first conv must match the reference-shaped path to float tolerance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.engine import init_state
+from tecogan_tpu.engine.state import model_defs
+from tecogan_tpu.engine.inference import sr_step
+from tecogan_tpu.engine.fused import (
+    grid_sample_patch,
+    fused_first_layer,
+    fused_sr_step,
+    retile_conv_in_kernel,
+)
+from tecogan_tpu.ops.space import space_to_depth
+from tecogan_tpu.ops.image import deprocess
+
+
+def test_grid_sample_patch_matches_torch_inrange(rng):
+    img = rng.random((2, 3, 12, 10)).astype(np.float32)
+    grid = (rng.random((2, 6, 5, 2)).astype(np.float32) * 2 - 1)
+    ref = F.grid_sample(
+        torch.from_numpy(img), torch.from_numpy(grid),
+        mode="bilinear", padding_mode="zeros", align_corners=False,
+    ).numpy()
+    img_nhwc = jnp.transpose(jnp.asarray(img), (0, 2, 3, 1))
+    got = np.asarray(
+        grid_sample_patch(img_nhwc, jnp.asarray(grid), dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), ref, atol=1e-5)
+
+
+def test_grid_sample_patch_matches_torch_outofrange(rng):
+    """Edge cases: bases at -1, far OOB, exactly W-1."""
+    img = rng.random((1, 3, 8, 8)).astype(np.float32)
+    grid = (rng.random((1, 8, 8, 2)).astype(np.float32) * 8 - 3)  # [-3, 5]
+    ref = F.grid_sample(
+        torch.from_numpy(img), torch.from_numpy(grid),
+        mode="bilinear", padding_mode="zeros", align_corners=False,
+    ).numpy()
+    img_nhwc = jnp.transpose(jnp.asarray(img), (0, 2, 3, 1))
+    got = np.asarray(
+        grid_sample_patch(img_nhwc, jnp.asarray(grid), dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), ref, atol=1e-5)
+
+
+def test_fused_first_layer_matches_unfused(rng):
+    cfg = TecoConfig(crop_size=8, num_resblock=2, precision="fp32")
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    gen, _ = model_defs(cfg)
+
+    cur_lr = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    warped = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32) * 2 - 1)
+
+    # reference-shaped: s2d(deprocess(warped)) ‖ lr -> conv_in -> relu
+    fb = space_to_depth(deprocess(warped))
+    inp = jnp.concatenate([cur_lr, fb], axis=-1)
+    k = state.params_g["conv_in"]["kernel"]
+    b = state.params_g["conv_in"]["bias"]
+    ref = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            inp, k, (1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+    )
+
+    got = fused_first_layer(state.params_g, cur_lr, warped, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_sr_step_matches_reference_path(rng):
+    cfg = TecoConfig(crop_size=8, num_resblock=2, precision="fp32",
+                     bug_parity=False)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    gen, _ = model_defs(cfg)
+    variables = {"params": state.params_g}
+
+    prev_sr = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    prev_lr = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    cur_lr = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+
+    ref = sr_step(gen, state.params_g, prev_sr, prev_lr, cur_lr,
+                  parity_half=False)
+    got = fused_sr_step(gen, variables, state.params_g, prev_sr, prev_lr,
+                        cur_lr, parity_half=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_retile_kernel_shapes(rng):
+    k = jnp.asarray(rng.standard_normal((3, 3, 51, 64)).astype(np.float32))
+    k_lr, k12 = retile_conv_in_kernel(k)
+    assert k_lr.shape == (3, 3, 3, 64)
+    assert k12.shape == (12, 12, 3, 64)
+    # spot-check the index mapping: K12[4*di+a, 4*dj+b, c] == K[di,dj,3+c*16+a*4+b]
+    for (di, dj, c, a, bb) in [(0, 0, 0, 0, 0), (1, 2, 2, 3, 1), (2, 1, 1, 2, 3)]:
+        np.testing.assert_allclose(
+            np.asarray(k12[4 * di + a, 4 * dj + bb, c]),
+            np.asarray(k[di, dj, 3 + c * 16 + a * 4 + bb]),
+        )
