@@ -146,6 +146,37 @@ def run_train(cfg: TecoConfig) -> None:
         )
         print(f"resumed from epoch {current_epoch}")
 
+    # validation split: scenes end_dir+1 .. end_dir_val (the reference
+    # parsed --end_dir_val but never used it; SURVEY §5 config row)
+    val_dataset = None
+    val_infer = None
+    if cfg.validate_every > 0:
+        val_cfg = cfg.replace(str_dir=cfg.end_dir + 1, end_dir=cfg.end_dir_val)
+        try:
+            val_dataset = TrainDataset(val_cfg)
+            if len(val_dataset) == 0:
+                val_dataset = None
+        except ValueError:
+            val_dataset = None
+        if val_dataset is not None:
+            from ..engine import build_clip_inference
+            from ..ops.metrics import psnr
+
+            val_infer = build_clip_inference(cfg)
+            print(f"validation: {len(val_dataset.scenes)} scenes")
+
+    def run_validation(params_g):
+        scores = []
+        for s in range(len(val_dataset.scenes)):
+            lr_clip, hr_clip = val_dataset.get_clip(s * 110)
+            lr_nhwc = jnp.transpose(jnp.asarray(lr_clip), (0, 2, 3, 1))[None]
+            sr = val_infer(params_g, lr_nhwc)[0]
+            hr_nhwc = jnp.transpose(jnp.asarray(hr_clip), (0, 2, 3, 1))
+            from ..ops.metrics import psnr
+
+            scores.append(float(psnr(hr_nhwc, sr)))
+        return float(np.mean(scores))
+
     writer = SummaryWriter(cfg.summary_dir)
     since = time.time()
     log_keys = [
@@ -205,6 +236,11 @@ def run_train(cfg: TecoConfig) -> None:
         lr_now = float(metrics["learning_rate"])
         print(f"Generator lr is: {lr_now}, Discriminator lr is: {lr_now}")
         print(format_metrics({k: metrics[k] for k in log_keys if k in metrics}))
+
+        if val_dataset is not None and (epoch + 1) % cfg.validate_every == 0:
+            val_psnr = run_validation(state.params_g)
+            writer.write(int(state.step), {"val_psnr_db": val_psnr}, epoch=epoch)
+            print(f"Validation PSNR: {val_psnr:.3f} dB")
 
         if (epoch + 1) % cfg.checkpoint_every == 0:
             save_train_state(cfg.output_dir, jax.device_get(state), epoch)

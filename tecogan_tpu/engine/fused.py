@@ -162,6 +162,60 @@ def pseudo_flow_grid_fast(prev_lr: jnp.ndarray) -> jnp.ndarray:
     return up.reshape(B, H4, W4, 2)
 
 
+def phase_conv_transpose_2x(x, kernel, bias=None, dtype=jnp.bfloat16):
+    """ConvTranspose(k=3, s=2, p=1, op=1) as four exact phase convs +
+    depth-to-space — 9 MACs/input-pixel/channel-pair instead of the 36 a
+    naive zero-dilated conv spends (3/4 of its taps hit inserted zeros).
+
+    MEASURED SLOWER end-to-end on v5e than the lhs-dilated module path
+    (17.9 vs 25.8 fps at 1080p): XLA already strength-reduces the dilated
+    conv, and the phase interleave adds HBM passes at full resolution.
+    Kept (and equivalence-tested) as the building block for a future
+    Pallas fusion where the interleave can stay in VMEM.
+
+    Derivation from the lhs-dilated formulation (models/layers.py
+    ConvTranspose2x, torch-parity tested): with input x_t and kernel taps
+    K[0..2] per axis,
+      y[2t]   = x_t * K[1]                       (even phase, 1 tap)
+      y[2t+1] = x_t * K[0] + x_{t+1} * K[2]      (odd phase, 2 taps)
+    2D phases: (e,e)=K[1,1] 1x1; (e,o)=K[1,{0,2}] 1x2; (o,e)=2x1;
+    (o,o)=K[{0,2},{0,2}] 2x2.
+
+    kernel: (3, 3, C, O) in our HWIO forward-conv orientation.
+    Returns (B, 2H, 2W, O).
+    """
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    x = x.astype(dtype)
+    k = kernel.astype(dtype)
+
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(inp, ker, pad):
+        return jax.lax.conv_general_dilated(inp, ker, (1, 1), padding=pad,
+                                            dimension_numbers=dn)
+
+    # (even, even): 1x1 kernel K[1,1]
+    p_ee = conv(x, k[1:2, 1:2], ((0, 0), (0, 0)))
+    # (even, odd): taps K[1,0] (x_t) and K[1,2] (x_{t+1}) along W
+    p_eo = conv(x, k[1:2, 0:3:2], ((0, 0), (0, 1)))
+    # (odd, even): taps K[0,1], K[2,1] along H
+    p_oe = conv(x, k[0:3:2, 1:2], ((0, 1), (0, 0)))
+    # (odd, odd): 2x2 kernel from corners K[{0,2},{0,2}]
+    p_oo = conv(x, k[0:3:2, 0:3:2], ((0, 1), (0, 1)))
+
+    # interleave: channel order o*4 + a*2 + b for offset (a, b)
+    phases = jnp.stack([p_ee, p_eo, p_oe, p_oo], axis=-1)  # (B,H,W,O,4)
+    packed = phases.reshape(B, H, W, O * 4)
+    from ..ops.space import depth_to_space
+
+    # depth_to_space channel numbering is c*4 + a*2 + b — matches stack order
+    y = depth_to_space(packed, block=2)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 def fused_sr_step(gen: Generator, variables, params_g, prev_sr, prev_lr,
                   cur_lr, parity_half: bool = False):
     """One recurrent SR step on the fused fast path (NHWC, bf16 gather).

@@ -22,12 +22,33 @@ from .losses import tecogan_losses, discriminator_loss
 from .state import TrainState, make_optimizers, model_defs, lr_schedule
 
 
+_STEP_CACHE: dict = {}
+
+
+def _cfg_key(cfg: TecoConfig):
+    import dataclasses as _dc
+
+    return tuple(getattr(cfg, f.name) for f in _dc.fields(cfg))
+
+
 def build_train_step(cfg: TecoConfig, vgg_apply=None, donate: bool = True):
     """Returns ``train_step(state, lr_batch, hr_batch) -> (state, metrics)``.
 
     lr_batch: (B, T, 3, H, W), hr_batch: (B, T, 3, 4H, 4W), both f32 [0,1]
     (the reference's loader emits exactly these: main.py:270-272).
+
+    Steps are memoized per (cfg, vgg, donate) so repeated builders share
+    one compiled program (jit caches by function identity).
     """
+    cache_key = (_cfg_key(cfg), id(vgg_apply) if vgg_apply else None, donate)
+    if cache_key in _STEP_CACHE:
+        return _STEP_CACHE[cache_key]
+    step = _build_train_step(cfg, vgg_apply, donate)
+    _STEP_CACHE[cache_key] = step
+    return step
+
+
+def _build_train_step(cfg: TecoConfig, vgg_apply=None, donate: bool = True):
     gen, disc = model_defs(cfg)
     opt_g_tx, opt_d_tx, sched = make_optimizers(cfg)
 
@@ -64,12 +85,30 @@ def build_train_step(cfg: TecoConfig, vgg_apply=None, donate: bool = True):
         opt_d_state = state.opt_d
         opt_d_state.hyperparams["learning_rate"] = lr_now * d_scale
         updates_d, opt_d_state = opt_d_tx.update(grads_d, opt_d_state, state.params_d)
+
+        # D-balance gating: the reference parses --Dbalance and threads
+        # counter1/counter2 but never gates anything (main.py:123,
+        # train.py:350-351 — SURVEY §5.1.5).  Intended behavior (active in
+        # fixed mode): skip the D update when D is winning, i.e. the
+        # balance EMA is below -Dbalance.
+        tb = aux["metrics"]["t_balance"]
+        if cfg.bug_parity:
+            apply_d = jnp.array(True)
+        else:
+            apply_d = tb > -cfg.Dbalance
+        updates_d = jax.tree.map(
+            lambda u: jnp.where(apply_d, u, jnp.zeros_like(u)), updates_d
+        )
         params_d = optax.apply_updates(state.params_d, updates_d)
 
         metrics = dict(aux["metrics"])
         metrics["learning_rate"] = lr_now
         metrics["d_loss"] = d_loss
         metrics["gen_loss"] = gen_loss
+        # the reference's counter1/counter2 slots (update_list_name
+        # "withD_counter"/"w_o_D_counter", train.py:350-351) — now real
+        metrics["withD_counter"] = apply_d.astype(jnp.float32)
+        metrics["w_o_D_counter"] = 1.0 - apply_d.astype(jnp.float32)
 
         new_state = TrainState(
             params_g=params_g,

@@ -92,6 +92,22 @@ def test_fused_sr_step_matches_reference_path(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
 
 
+def test_phase_conv_transpose_matches_module(rng):
+    """Phase-decomposed convT == the lhs-dilated ConvTranspose2x module
+    (itself torch-parity tested)."""
+    from tecogan_tpu.engine.fused import phase_conv_transpose_2x
+    from tecogan_tpu.models.layers import ConvTranspose2x
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 7, 4)).astype(np.float32))
+    mod = ConvTranspose2x(features=6)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    ref = mod.apply({"params": params}, x)
+    got = phase_conv_transpose_2x(x, params["kernel"], params["bias"],
+                                  dtype=jnp.float32)
+    assert got.shape == (2, 10, 14, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_retile_kernel_shapes(rng):
     k = jnp.asarray(rng.standard_normal((3, 3, 51, 64)).astype(np.float32))
     k_lr, k12 = retile_conv_in_kernel(k)
