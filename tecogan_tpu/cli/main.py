@@ -139,12 +139,17 @@ def run_train(cfg: TecoConfig) -> None:
     else:
         step_fn = build_train_step(cfg, vgg_apply=vgg_apply)
 
+    from ..utils.checkpoint import has_checkpoint, wait_for_async_save
+
     current_epoch = 0
     if cfg.pre_trained_model:
         state, current_epoch = load_train_state(
             cfg.output_dir, state, cfg.g_checkpoint, cfg.d_checkpoint
         )
         print(f"resumed from epoch {current_epoch}")
+    elif cfg.auto_resume and has_checkpoint(cfg.output_dir):
+        state, current_epoch = load_train_state(cfg.output_dir, state)
+        print(f"auto-resumed from epoch {current_epoch}")
 
     # validation split: scenes end_dir+1 .. end_dir_val (the reference
     # parsed --end_dir_val but never used it; SURVEY §5 config row)
@@ -243,11 +248,15 @@ def run_train(cfg: TecoConfig) -> None:
             print(f"Validation PSNR: {val_psnr:.3f} dB")
 
         if (epoch + 1) % cfg.checkpoint_every == 0:
-            save_train_state(cfg.output_dir, jax.device_get(state), epoch)
+            save_train_state(
+                cfg.output_dir, jax.device_get(state), epoch,
+                async_save=cfg.async_checkpoint,
+            )
             print("Saving model...")
 
         elapsed = time.time() - since
         print(f"Training time {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
+    wait_for_async_save()
     writer.close()
 
 

@@ -117,6 +117,8 @@ class TecoConfig:
     checkpoint_every: int = 1  # epochs between checkpoint saves
     steps_per_epoch: int = -1  # cap batches per epoch (-1 = full epoch)
     profile_dir: str = ""  # capture a jax.profiler trace of steps 10-15
+    auto_resume: bool = False  # resume from output_dir checkpoints if present
+    async_checkpoint: bool = True  # serialize checkpoints off the train loop
     validate_every: int = 0  # epochs between PSNR eval on the val split
     # (scenes end_dir+1..end_dir_val — the reference parsed end_dir_val
     # and never used it); 0 = off
@@ -214,6 +216,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", default=d.steps_per_epoch, type=int)
     p.add_argument("--profile_dir", default=d.profile_dir)
     p.add_argument("--validate_every", default=d.validate_every, type=int)
+    p.add_argument("--auto_resume", default=d.auto_resume, type=str2bool)
+    p.add_argument("--async_checkpoint", default=d.async_checkpoint, type=str2bool)
     p.add_argument("--jit", default=d.jit, type=str2bool)
     return p
 

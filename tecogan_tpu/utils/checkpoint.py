@@ -97,19 +97,58 @@ def discriminator_ckpt_path(output_dir: str) -> str:
     return os.path.join(output_dir, "discrim.ckpt")
 
 
-def save_train_state(output_dir: str, state, epoch: int) -> None:
-    save_pytree(
-        generator_ckpt_path(output_dir),
-        {"model_state_dict": state.params_g, "optimizer_state_dict": state.opt_g},
-        meta={"epoch": epoch, "step": int(state.step)},
-    )
-    save_pytree(
-        discriminator_ckpt_path(output_dir),
-        {
-            "model_state_dict": state.params_d,
-            "optimizer_state_dict": state.opt_d,
-            "batch_stats": state.batch_stats_d,
-        },
+_ASYNC_SAVER: dict = {"thread": None}
+
+
+def save_train_state(output_dir: str, state, epoch: int, async_save: bool = False) -> None:
+    """Write the generator/discriminator checkpoint pair.
+
+    ``async_save=True`` runs serialization in a background thread (the
+    tensors are device_get'd synchronously first, so training can proceed);
+    writes are atomic (tmp + rename), and a pending async save is joined
+    before starting the next — crash recovery always sees a complete pair
+    (SURVEY §5 failure-detection row).
+    """
+    import threading
+
+    def _write():
+        save_pytree(
+            generator_ckpt_path(output_dir),
+            {"model_state_dict": state.params_g, "optimizer_state_dict": state.opt_g},
+            meta={"epoch": epoch, "step": int(state.step)},
+        )
+        save_pytree(
+            discriminator_ckpt_path(output_dir),
+            {
+                "model_state_dict": state.params_d,
+                "optimizer_state_dict": state.opt_d,
+                "batch_stats": state.batch_stats_d,
+            },
+        )
+
+    prev = _ASYNC_SAVER["thread"]
+    if prev is not None:
+        prev.join()
+        _ASYNC_SAVER["thread"] = None
+    if async_save:
+        t = threading.Thread(target=_write, daemon=False)
+        t.start()
+        _ASYNC_SAVER["thread"] = t
+    else:
+        _write()
+
+
+def wait_for_async_save() -> None:
+    prev = _ASYNC_SAVER["thread"]
+    if prev is not None:
+        prev.join()
+        _ASYNC_SAVER["thread"] = None
+
+
+def has_checkpoint(output_dir: str) -> bool:
+    """True when a complete checkpoint pair exists (auto-resume probe)."""
+    return os.path.exists(generator_ckpt_path(output_dir)) and os.path.exists(
+        discriminator_ckpt_path(output_dir)
     )
 
 

@@ -77,3 +77,19 @@ def test_shape_mismatch_raises(tmp_path):
     big = init_state(c.replace(num_resblock=4), jax.random.PRNGKey(0))
     with pytest.raises((KeyError, ValueError)):
         load_generator_params(generator_ckpt_path(str(tmp_path)), big.params_g)
+
+
+def test_async_save_and_auto_resume_probe(tmp_path):
+    from tecogan_tpu.utils.checkpoint import (
+        has_checkpoint,
+        wait_for_async_save,
+    )
+
+    c = cfg()
+    s = init_state(c, jax.random.PRNGKey(0))
+    assert not has_checkpoint(str(tmp_path))
+    save_train_state(str(tmp_path), s, epoch=2, async_save=True)
+    wait_for_async_save()
+    assert has_checkpoint(str(tmp_path))
+    s2, epoch = load_train_state(str(tmp_path), init_state(c, jax.random.PRNGKey(1)))
+    assert epoch == 2
