@@ -14,7 +14,6 @@ dedent bug wrote only the last: main.py:220).
 from __future__ import annotations
 
 import os
-import sys
 import time
 
 import numpy as np

@@ -21,8 +21,6 @@ against the reference-shaped path in tests/test_fused.py:
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -13,15 +13,14 @@ long-video use (experimental/live.py semantics), and a batched scene mode.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..config import TecoConfig
 from ..models import Generator
-from ..ops.image import nchw_to_nhwc, nhwc_to_nchw, deprocess
+from ..ops.image import nhwc_to_nchw, deprocess
 from ..ops.resize import upscale_four
 from ..ops.space import space_to_depth
 from ..ops.warp import grid_sample

@@ -20,7 +20,7 @@ gradients flow through the recurrence and the adversarial/feature terms.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from ..config import TecoConfig
 from ..ops.image import nchw_to_nhwc, nhwc_to_nchw, preprocess, deprocess
 from ..ops.resize import upscale_four
 from ..ops.space import space_to_depth_nchw
-from ..ops.warp import grid_sample_nchw, grid_sample
+from ..ops.warp import grid_sample_nchw
 
 VGG_LAYER_LABELS = ("vgg_19/conv2_2", "vgg_19/conv3_4", "vgg_19/conv4_4")
 D_LAYER_NORM = (12.0, 14.0, 24.0, 100.0)  # train.py:214

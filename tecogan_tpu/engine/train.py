@@ -10,16 +10,13 @@ Two optimizers share a single generator forward: the G gradient comes from
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 import optax
 
 from ..config import TecoConfig
 from .losses import tecogan_losses, discriminator_loss
-from .state import TrainState, make_optimizers, model_defs, lr_schedule
+from .state import TrainState, make_optimizers, model_defs
 
 
 _STEP_CACHE: dict = {}

@@ -18,7 +18,6 @@ hot recurrent-feedback path.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

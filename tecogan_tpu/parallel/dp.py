@@ -10,11 +10,11 @@ lowers them to ``psum``-based cross-replica reductions automatically.
 from __future__ import annotations
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..config import TecoConfig
 from ..engine.train import build_train_step
-from .mesh import DATA_AXIS, batch_sharding, replicated
+from .mesh import batch_sharding, replicated
 
 
 def build_dp_train_step(cfg: TecoConfig, mesh: Mesh, vgg_apply=None, donate=True):
