@@ -110,7 +110,8 @@ class TecoConfig:
     precision: str = "bf16"  # bf16 | fp32 compute (params always fp32)
     bug_parity: bool = True  # reproduce reference's detach/reshape quirks
     data_axis: int = 0  # number of data-parallel shards; 0 = all devices
-    use_pallas: bool = True  # fused warp+space-to-depth Pallas kernel on TPU
+    use_pallas: bool = True  # fused fast path (packed-gather warp + re-tiled conv)
+    warp_group: int = 4  # base columns packed per warp-gather row (fast path)
     remat: bool = False  # rematerialize the per-frame generator step
     prefetch: int = 2  # device prefetch depth for the input pipeline
     log_every: int = 10  # steps between metric lines
@@ -209,6 +210,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bug_parity", default=d.bug_parity, type=str2bool)
     p.add_argument("--data_axis", default=d.data_axis, type=int)
     p.add_argument("--use_pallas", default=d.use_pallas, type=str2bool)
+    p.add_argument("--warp_group", default=d.warp_group, type=int)
     p.add_argument("--remat", default=d.remat, type=str2bool)
     p.add_argument("--prefetch", default=d.prefetch, type=int)
     p.add_argument("--log_every", default=d.log_every, type=int)

@@ -110,6 +110,115 @@ def grid_sample_patch(image: jnp.ndarray, grid: jnp.ndarray,
     return out.astype(image.dtype)
 
 
+def build_packed_table_int8(image: jnp.ndarray, group: int = 4) -> jnp.ndarray:
+    """Quantize a [0,1] image to uint8 and pack ``group`` horizontal base
+    positions per gather row.
+
+    Row q of output row y holds the (2 rows) x (group+1 cols) x C
+    neighborhood of base columns 4q..4q+3:
+      P[b, y, q, r*(group+1)*C + c5*C + ch] = u8(image[b, y+r, group*q+c5, ch])
+    padded with zeros beyond the image (zero taps dequantize to exactly 0,
+    matching grid_sample's zero padding).
+
+    Why: XLA's TPU gather costs ~max(9ns, bytes*0.42ns) per ROW — packing
+    4 bases into one 32-byte int8 row cuts the 1080p warp gather from
+    ~19.4ms (2M x 12B rows) to ~7ms (518k x 32B rows).
+    """
+    B, H, W, C = image.shape
+    q8 = jnp.clip(jnp.round(image.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
+    # pad: +1 row (y+1 taps at y=H-1), +group cols (c5 up to group at q_max)
+    q8 = jnp.pad(q8, ((0, 0), (0, 1), (0, group), (0, 0)))
+    cols = W // group
+    # strided column slices: X_c5[b, y, q] = q8[b, y, group*q + c5]
+    slabs = []
+    for r in range(2):
+        for c5 in range(group + 1):
+            s = q8[:, r : r + H, c5 : c5 + W : group]  # (B, H, cols, C)
+            slabs.append(s[:, :, :cols])
+    packed = jnp.stack(slabs, axis=3)  # (B, H, cols, 2*(group+1), C)
+    packed = packed.reshape(B, H * cols, 2 * (group + 1) * C)
+    lane_pad = (-packed.shape[-1]) % 32
+    if lane_pad:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, lane_pad)))
+    return packed
+
+
+def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
+                            group: int = 4) -> jnp.ndarray:
+    """Bilinear, zero-padded, align_corners=False grid sample via ONE
+    packed-int8 row gather (same contract as ops.warp.grid_sample, with
+    <=1/510 quantization error from the uint8 table).
+
+    This is the production warp for the recurrent feedback: the feedback
+    tensor feeds a conv, so 8-bit quantization of the carried frame is far
+    below the VSR signal level (see test_fused.py tolerance checks).
+    """
+    B, H, W, C = image.shape
+    Hg, Wg = grid.shape[1:3]
+    gp1 = group + 1
+
+    g = grid.astype(jnp.float32)
+    ix = ((g[..., 0] + 1.0) * W - 1.0) / 2.0
+    iy = ((g[..., 1] + 1.0) * H - 1.0) / 2.0
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    wx = (ix - ix0)[..., None]
+    wy = (iy - iy0)[..., None]
+
+    def valid(yy, xx):
+        return ((xx >= 0) & (xx <= W - 1) & (yy >= 0) & (yy <= H - 1))[..., None]
+
+    v = [[valid(iy0 + r, ix0 + s) for s in (0, 1)] for r in (0, 1)]
+
+    xb = jnp.clip(ix0, 0, W - 1).astype(jnp.int32)
+    yb = jnp.clip(iy0, 0, H - 1).astype(jnp.int32)
+    dx = xb - ix0.astype(jnp.int32)  # 0 except when base clamped
+    dy = yb - iy0.astype(jnp.int32)
+
+    q = xb // group
+    s_in = xb - q * group  # base col within the packed group
+
+    table = build_packed_table_int8(image, group)  # (B, H*cols, lanes)
+    cols = W // group
+    idx = (yb * cols + q).reshape(B, -1)
+    rows = jnp.take_along_axis(table, idx[..., None], axis=1)
+    rows = rows[..., : 2 * gp1 * C]  # drop lane padding
+    rows = rows.reshape(B, Hg, Wg, 2, gp1, C)  # uint8
+
+    dequant = (1.0 / 255.0)
+
+    def col_select(r_slot, col5):
+        """rows[..., r_slot, col5, :] with a data-dependent col5 via
+        masked sum (gather-free)."""
+        plane = rows[:, :, :, r_slot]  # (B,Hg,Wg,gp1,C)
+        acc = 0.0
+        for k in range(gp1):
+            acc = acc + plane[:, :, :, k].astype(jnp.float32) * (
+                (col5 == k)[..., None].astype(jnp.float32)
+            )
+        return acc
+
+    def tap(r, s):
+        col5 = s_in - dx + s  # true col within the packed row
+        in_row = (col5 >= 0) & (col5 <= group)
+        r_sel = r - dy
+        in_r = (r_sel >= 0) & (r_sel <= 1)
+        # select the r-plane: r_sel is 0 or 1 when in_r
+        val = jnp.where(
+            (r_sel == 0)[..., None], col_select(0, col5), col_select(1, col5)
+        )
+        keep = (v[r][s][..., 0] & in_row & in_r)[..., None]
+        return val * keep.astype(jnp.float32) * dequant
+
+    out = (
+        tap(0, 0) * (1 - wy) * (1 - wx)
+        + tap(0, 1) * (1 - wy) * wx
+        + tap(1, 0) * wy * (1 - wx)
+        + tap(1, 1) * wy * wx
+    )
+    return out.astype(image.dtype)
+
+
 def retile_conv_in_kernel(kernel_51: jnp.ndarray):
     """Split conv_in's (3,3,51,64) kernel into the LR part (3,3,3,64) and
     the feedback part re-tiled as a stride-4 kernel (12,12,3,64) with
@@ -215,17 +324,25 @@ def phase_conv_transpose_2x(x, kernel, bias=None, dtype=jnp.bfloat16):
 
 
 def fused_sr_step(gen: Generator, variables, params_g, prev_sr, prev_lr,
-                  cur_lr, parity_half: bool = False):
-    """One recurrent SR step on the fused fast path (NHWC, bf16 gather).
+                  cur_lr, parity_half: bool = False,
+                  int8_feedback: bool = True, warp_group: int = 4):
+    """One recurrent SR step on the fused fast path (NHWC).
 
-    Equivalent to engine.inference.sr_step to float tolerance; intended
-    for the quality/serving path (bug_parity runs keep the exact path).
-    prev_sr may be bf16 (the fast scan carries bf16 state).
+    Equivalent to engine.inference.sr_step to float/quantization tolerance;
+    intended for the quality/serving path (bug_parity runs keep the exact
+    path).  prev_sr may be bf16 (the fast scan carries bf16 state).
+
+    int8_feedback: warp via the packed-int8 single-gather (default — the
+    carried frame feeds a conv, so uint8 quantization is ~50 dB below
+    signal); False uses the bf16 patch-table gather.
     """
     grid = pseudo_flow_grid_fast(prev_lr)
     if parity_half:
         grid = grid.astype(jnp.float16).astype(jnp.float32)
 
-    warped = grid_sample_patch(prev_sr, grid)
+    if int8_feedback and prev_sr.shape[2] % warp_group == 0:
+        warped = grid_sample_packed_int8(prev_sr, grid, group=warp_group)
+    else:
+        warped = grid_sample_patch(prev_sr, grid)
     net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
     return gen.apply(variables, net, method=Generator.tail)

@@ -95,6 +95,7 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 sr = fused_sr_step(
                     gen_fast, {"params": params_g}, params_g, prev_sr,
                     prev_lr, cur_lr, parity_half=False,
+                    warp_group=cfg.warp_group,
                 )
             else:
                 sr = sr_step(gen, params_g, prev_sr, prev_lr, cur_lr,

@@ -119,3 +119,60 @@ def test_retile_kernel_shapes(rng):
             np.asarray(k12[4 * di + a, 4 * dj + bb, c]),
             np.asarray(k[di, dj, 3 + c * 16 + a * 4 + bb]),
         )
+
+
+def test_grid_sample_packed_int8_close_to_exact(rng):
+    """Packed-int8 warp == exact warp within uint8 quantization (inputs in
+    [0,1] like sigmoid outputs; zero-padding taps must be exactly zero)."""
+    from tecogan_tpu.engine.fused import grid_sample_packed_int8
+    from tecogan_tpu.ops.warp import grid_sample
+
+    img = jnp.asarray(rng.random((2, 12, 16, 3)).astype(np.float32))
+    grid = jnp.asarray((rng.random((2, 10, 8, 2)) * 4 - 2).astype(np.float32))
+    exact = np.asarray(grid_sample(img, grid))
+    got = np.asarray(grid_sample_packed_int8(img, grid))
+    assert np.abs(got - exact).max() < 0.01  # bilinear of 1/510-quantized taps
+    # exact zeros where the exact path is zero (all taps OOB)
+    zero_mask = exact == 0.0
+    # allow boundary rows where exact is 0 by coincidence of values
+    assert np.abs(got[zero_mask]).max() < 0.01
+
+
+def test_fused_sr_step_int8_close_to_exact_path(rng):
+    cfg = TecoConfig(crop_size=8, num_resblock=2, precision="fp32",
+                     bug_parity=False)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    gen, _ = model_defs(cfg)
+    variables = {"params": state.params_g}
+
+    prev_sr = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    prev_lr = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    cur_lr = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+
+    ref = sr_step(gen, state.params_g, prev_sr, prev_lr, cur_lr,
+                  parity_half=False)
+    got = fused_sr_step(gen, variables, state.params_g, prev_sr, prev_lr,
+                        cur_lr, parity_half=False, int8_feedback=True)
+    assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 0.02
+    # PSNR of the int8-feedback output vs exact must sit far above VSR levels
+    mse = float(np.mean((np.asarray(got) - np.asarray(ref)) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45
+
+
+def test_fused_clip_inference_close_to_exact_over_time(rng):
+    """Quantization must not accumulate through the recurrence: the fused
+    clip inference (int8 feedback + bf16 carry) tracks the exact path
+    within tolerance on the LAST frame of a 6-frame clip."""
+    from tecogan_tpu.engine import build_clip_inference
+
+    cfg_exact = TecoConfig(crop_size=8, num_resblock=2, precision="fp32",
+                           bug_parity=False, use_pallas=False)
+    cfg_fast = cfg_exact.replace(use_pallas=True)
+    state = init_state(cfg_exact, jax.random.PRNGKey(0))
+    clip = jnp.asarray(rng.random((1, 6, 8, 8, 3)).astype(np.float32))
+    exact = np.asarray(build_clip_inference(cfg_exact)(state.params_g, clip))
+    fast = np.asarray(build_clip_inference(cfg_fast)(state.params_g, clip))
+    last_mse = float(np.mean((exact[:, -1] - fast[:, -1]) ** 2))
+    psnr = 10 * np.log10(1.0 / max(last_mse, 1e-12))
+    assert psnr > 40, psnr
