@@ -152,9 +152,12 @@ def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
     This is the production warp for the recurrent feedback: the feedback
     tensor feeds a conv, so 8-bit quantization of the carried frame is far
     below the VSR signal level (see test_fused.py tolerance checks).
+
+    ``grid`` may have any shape (B, *S, 2); the output is (B, *S, C) —
+    warp_feedback_s2d exploits this to emit space-to-depth layout directly.
     """
     B, H, W, C = image.shape
-    Hg, Wg = grid.shape[1:3]
+    S = grid.shape[1:-1]
     gp1 = group + 1
 
     g = grid.astype(jnp.float32)
@@ -183,17 +186,17 @@ def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
     idx = (yb * cols + q).reshape(B, -1)
     rows = jnp.take_along_axis(table, idx[..., None], axis=1)
     rows = rows[..., : 2 * gp1 * C]  # drop lane padding
-    rows = rows.reshape(B, Hg, Wg, 2, gp1, C)  # uint8
+    rows = rows.reshape(B, *S, 2, gp1, C)  # uint8
 
     dequant = (1.0 / 255.0)
 
     def col_select(r_slot, col5):
         """rows[..., r_slot, col5, :] with a data-dependent col5 via
         masked sum (gather-free)."""
-        plane = rows[:, :, :, r_slot]  # (B,Hg,Wg,gp1,C)
+        plane = rows[..., r_slot, :, :]  # (B, *S, gp1, C)
         acc = 0.0
         for k in range(gp1):
-            acc = acc + plane[:, :, :, k].astype(jnp.float32) * (
+            acc = acc + plane[..., k, :].astype(jnp.float32) * (
                 (col5 == k)[..., None].astype(jnp.float32)
             )
         return acc
@@ -217,6 +220,30 @@ def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
         + tap(1, 1) * wy * wx
     )
     return out.astype(image.dtype)
+
+
+def warp_feedback_s2d_int8(prev_sr: jnp.ndarray, grid: jnp.ndarray,
+                           group: int = 4) -> jnp.ndarray:
+    """Warp + deprocess + space-to-depth in one pass, emitting the
+    48-channel LR feedback directly (reference hot path train.py:98-106).
+
+    The sampler's elementwise graph is laid out so its OUTPUT is already
+    s2d-ordered (channel c*16 + a*4 + b): the HR grid (B, 4H, 4W, 2) is
+    viewed as (B, H, W, 4, 4, 2) and the combine produces (B, H, W, 4, 4,
+    C), which transposes/reshapes to (B, H, W, 48).
+
+    MEASURED SLOWER end-to-end (16.6 vs 29.4 fps at 1080p): the (4, 4, 3)
+    trailing dims of the blocked layout wreck VPU lane utilization for the
+    masked-sum combine.  Kept (equivalence-tested) as documentation of the
+    attempt; the hot path uses the HR-layout sampler + stride-4 conv.
+    """
+    B, H4, W4, _ = grid.shape
+    H, W = H4 // 4, W4 // 4
+    g6 = grid.reshape(B, H, 4, W, 4, 2).transpose(0, 1, 3, 2, 4, 5)
+    warped = grid_sample_packed_int8(prev_sr, g6, group)  # (B,H,W,4,4,C)
+    fb = deprocess(warped)  # (x+1)/2 (ops.py:29-36, train.py:101)
+    fb = fb.transpose(0, 1, 2, 5, 3, 4)  # (B,H,W,C,4,4)
+    return fb.reshape(B, H, W, 3 * 16)
 
 
 def retile_conv_in_kernel(kernel_51: jnp.ndarray):
@@ -342,7 +369,8 @@ def fused_sr_step(gen: Generator, variables, params_g, prev_sr, prev_lr,
 
     if int8_feedback and prev_sr.shape[2] % warp_group == 0:
         warped = grid_sample_packed_int8(prev_sr, grid, group=warp_group)
-    else:
-        warped = grid_sample_patch(prev_sr, grid)
+        net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
+        return gen.apply(variables, net, method=Generator.tail)
+    warped = grid_sample_patch(prev_sr, grid)
     net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
     return gen.apply(variables, net, method=Generator.tail)

@@ -176,3 +176,17 @@ def test_fused_clip_inference_close_to_exact_over_time(rng):
     last_mse = float(np.mean((exact[:, -1] - fast[:, -1]) ** 2))
     psnr = 10 * np.log10(1.0 / max(last_mse, 1e-12))
     assert psnr > 40, psnr
+
+
+def test_warp_feedback_s2d_matches_composition(rng):
+    """warp_feedback_s2d_int8 == s2d(deprocess(packed-int8 warp))."""
+    from tecogan_tpu.engine.fused import (
+        warp_feedback_s2d_int8,
+        grid_sample_packed_int8,
+    )
+
+    img = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    grid = jnp.asarray((rng.random((1, 16, 16, 2)) * 3 - 1.5).astype(np.float32))
+    ref = space_to_depth(deprocess(grid_sample_packed_int8(img, grid)))
+    got = warp_feedback_s2d_int8(img, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
