@@ -222,6 +222,43 @@ def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
     return out.astype(image.dtype)
 
 
+def grid_sample_packed_int8_pallas(image: jnp.ndarray, grid: jnp.ndarray,
+                                   group: int = 4) -> jnp.ndarray:
+    """Packed-int8 warp with the tap combine as a single-pass Pallas TPU
+    kernel (ops/pallas/warp_combine.py) — bit-identical to
+    grid_sample_packed_int8.  STANDALONE it is 11x faster (375ms -> 34ms
+    at 1080p: XLA materializes every masked pass when unfused), but
+    INSIDE the inference scan it measured 19.4 vs 29.3 fps: the
+    pallas_call boundary forces the gathered rows (128MB/frame) and the
+    output to materialize in HBM, while XLA's combine fuses into the
+    gather consumer at near-zero marginal cost.  Kept for standalone /
+    eager warping; the scan hot path uses the XLA sampler."""
+    from ..ops.pallas.warp_combine import warp_combine
+
+    B, H, W, C = image.shape
+    Hg, Wg = grid.shape[1:3]
+
+    g = grid.astype(jnp.float32)
+    ix = ((g[..., 0] + 1.0) * W - 1.0) / 2.0
+    iy = ((g[..., 1] + 1.0) * H - 1.0) / 2.0
+    xb = jnp.clip(jnp.floor(ix), 0, W - 1).astype(jnp.int32)
+    yb = jnp.clip(jnp.floor(iy), 0, H - 1).astype(jnp.int32)
+    q = xb // group
+    cols = W // group
+    idx = (yb * cols + q).reshape(B, -1)
+
+    table = build_packed_table_int8(image, group)
+    rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, M, 32)
+    rows = rows.reshape(B * Hg * Wg, rows.shape[-1])[:, :32]
+
+    interpret = jax.default_backend() != "tpu"
+    out = warp_combine(
+        rows, ix.reshape(-1), iy.reshape(-1),
+        height=H, width=W, interpret=interpret,
+    )
+    return out.reshape(B, Hg, Wg, C).astype(image.dtype)
+
+
 def warp_feedback_s2d_int8(prev_sr: jnp.ndarray, grid: jnp.ndarray,
                            group: int = 4) -> jnp.ndarray:
     """Warp + deprocess + space-to-depth in one pass, emitting the

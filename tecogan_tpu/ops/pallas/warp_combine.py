@@ -53,6 +53,8 @@ def _combine_kernel(hw_ref, ix_ref, iy_ref, rows_ref, out_ref):
     s_in = xb - q * GROUP
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (Tm, 32), 1)
+    # rows arrive as bf16 (Mosaic can't cast uint8 directly; the caller
+    # widens the gather output once in XLA)
     rows = rows_ref[:].astype(jnp.float32)
 
     taps = (
@@ -90,13 +92,14 @@ def warp_combine(rows_u8, ix, iy, *, height: int, width: int,
     """rows_u8 (M, 32) uint8, ix/iy (M,) f32 unnormalized coords ->
     (M, 3) f32 combined bilinear samples (x255-quantized source)."""
     M = rows_u8.shape[0]
+    rows = rows_u8.astype(jnp.bfloat16)  # Mosaic has no uint8->float cast
     TILE = 1024
     pad = (-M) % TILE
     if pad:
-        rows_u8 = jnp.pad(rows_u8, ((0, pad), (0, 0)))
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
         ix = jnp.pad(ix, (0, pad))
         iy = jnp.pad(iy, (0, pad))
-    Mp = rows_u8.shape[0]
+    Mp = rows.shape[0]
     hw = jnp.asarray([height, width], jnp.int32)
 
     out = pl.pallas_call(
@@ -111,5 +114,5 @@ def warp_combine(rows_u8, ix, iy, *, height: int, width: int,
         out_specs=pl.BlockSpec((TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, 4), jnp.float32),
         interpret=interpret,
-    )(hw, ix[:, None], iy[:, None], rows_u8)
+    )(hw, ix[:, None], iy[:, None], rows)
     return out[:M, :3]

@@ -39,3 +39,13 @@ def test_warp_combine_matches_xla_combine(rng):
     )
     got = np.asarray(out).reshape(1, 12, 8, 3)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_pallas_sampler_equals_xla_sampler(rng):
+    from tecogan_tpu.engine.fused import grid_sample_packed_int8_pallas
+
+    img = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    grid = jnp.asarray((rng.random((2, 12, 8, 2)) * 4 - 2).astype(np.float32))
+    ref = np.asarray(grid_sample_packed_int8(img, grid))
+    got = np.asarray(grid_sample_packed_int8_pallas(img, grid))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
