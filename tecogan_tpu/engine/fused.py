@@ -188,16 +188,20 @@ def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
     rows = rows[..., : 2 * gp1 * C]  # drop lane padding
     rows = rows.reshape(B, *S, 2, gp1, C)  # uint8
 
-    dequant = (1.0 / 255.0)
+    # Combine arithmetic runs in bf16: uint8 tap values (0..255) are exact
+    # in bf16 (8-bit mantissa), and the bilinear weights' ~2^-9 rounding is
+    # the same order as the int8 table quantization already accepted.
+    cdt = jnp.bfloat16
+    dequant = cdt(1.0 / 255.0)
 
     def col_select(r_slot, col5):
         """rows[..., r_slot, col5, :] with a data-dependent col5 via
         masked sum (gather-free)."""
         plane = rows[..., r_slot, :, :]  # (B, *S, gp1, C)
-        acc = 0.0
+        acc = jnp.zeros(plane.shape[:-2] + plane.shape[-1:], cdt)
         for k in range(gp1):
-            acc = acc + plane[..., k, :].astype(jnp.float32) * (
-                (col5 == k)[..., None].astype(jnp.float32)
+            acc = acc + plane[..., k, :].astype(cdt) * (
+                (col5 == k)[..., None].astype(cdt)
             )
         return acc
 
@@ -211,13 +215,16 @@ def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
             (r_sel == 0)[..., None], col_select(0, col5), col_select(1, col5)
         )
         keep = (v[r][s][..., 0] & in_row & in_r)[..., None]
-        return val * keep.astype(jnp.float32) * dequant
+        return val * keep.astype(cdt) * dequant
 
+    wxc = wx.astype(cdt)
+    wyc = wy.astype(cdt)
+    one = cdt(1.0)
     out = (
-        tap(0, 0) * (1 - wy) * (1 - wx)
-        + tap(0, 1) * (1 - wy) * wx
-        + tap(1, 0) * wy * (1 - wx)
-        + tap(1, 1) * wy * wx
+        tap(0, 0) * (one - wyc) * (one - wxc)
+        + tap(0, 1) * (one - wyc) * wxc
+        + tap(1, 0) * wyc * (one - wxc)
+        + tap(1, 1) * wyc * wxc
     )
     return out.astype(image.dtype)
 
@@ -385,6 +392,21 @@ def phase_conv_transpose_2x(x, kernel, bias=None, dtype=jnp.bfloat16):
     if bias is not None:
         y = y + bias.astype(dtype)
     return y
+
+
+def fused_first_frame(gen: Generator, variables, params_g, lr0):
+    """Frame 0 on the fast path: zero feedback means conv_in reduces to
+    its LR kernel slice (conv of zeros vanishes) — skips building the
+    48-zero-channel tensor (main.py:191-193 semantics)."""
+    k = params_g["conv_in"]["kernel"][:, :, :3]
+    b = params_g["conv_in"]["bias"]
+    dt = gen.dtype
+    y = jax.lax.conv_general_dilated(
+        lr0.astype(dt), k.astype(dt), (1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    net = jax.nn.relu(y + b.astype(dt))
+    return gen.apply(variables, net, method=Generator.tail)
 
 
 def fused_sr_step(gen: Generator, variables, params_g, prev_sr, prev_lr,

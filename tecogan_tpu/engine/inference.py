@@ -80,7 +80,11 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     def infer(params_g, lr_clip):
         B, T, H, W, C = lr_clip.shape
         if use_fused:
-            sr0 = first_frame(gen_fast, params_g, lr_clip[:, 0])
+            from .fused import fused_first_frame
+
+            sr0 = fused_first_frame(
+                gen_fast, {"params": params_g}, params_g, lr_clip[:, 0]
+            )
         else:
             sr0 = first_frame(gen, params_g, lr_clip[:, 0])
 

@@ -190,3 +190,16 @@ def test_warp_feedback_s2d_matches_composition(rng):
     ref = space_to_depth(deprocess(grid_sample_packed_int8(img, grid)))
     got = warp_feedback_s2d_int8(img, grid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_fused_first_frame_matches_zero_feedback(rng):
+    from tecogan_tpu.engine.fused import fused_first_frame
+    from tecogan_tpu.engine.inference import first_frame
+
+    cfg = TecoConfig(crop_size=8, num_resblock=2, precision="fp32")
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    gen, _ = model_defs(cfg)
+    lr0 = jnp.asarray(rng.random((2, 8, 8, 3)).astype(np.float32))
+    ref = first_frame(gen, state.params_g, lr0)
+    got = fused_first_frame(gen, {"params": state.params_g}, state.params_g, lr0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

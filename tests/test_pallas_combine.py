@@ -38,7 +38,9 @@ def test_warp_combine_matches_xla_combine(rng):
         height=H, width=W, interpret=True,
     )
     got = np.asarray(out).reshape(1, 12, 8, 3)
-    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # the XLA hot-path sampler combines in bf16 (weights rounded to 2^-9);
+    # the Pallas kernel keeps f32 — agreement is at bf16 rounding level
+    np.testing.assert_allclose(got, ref, atol=2e-2)
 
 
 def test_pallas_sampler_equals_xla_sampler(rng):
@@ -48,4 +50,9 @@ def test_pallas_sampler_equals_xla_sampler(rng):
     grid = jnp.asarray((rng.random((2, 12, 8, 2)) * 4 - 2).astype(np.float32))
     ref = np.asarray(grid_sample_packed_int8(img, grid))
     got = np.asarray(grid_sample_packed_int8_pallas(img, grid))
-    np.testing.assert_allclose(got, ref, atol=1e-6)
+    # bf16 (XLA path) vs f32 (Pallas kernel) combine arithmetic
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+    # and the Pallas path must still match the EXACT f32 sampler closely
+    from tecogan_tpu.ops.warp import grid_sample
+    exact = np.asarray(grid_sample(img, grid))
+    assert np.abs(got - exact).max() < 0.01
