@@ -90,9 +90,6 @@ def test_str2bool_spellings():
         assert ns.pingpang is want
 
 
-FAST_ENV = None
-
-
 def run_cli(args, cwd):
     """Run the real repo-root main.py in a subprocess on CPU."""
     env = dict(os.environ)
@@ -204,3 +201,31 @@ def test_cli_inference_requires_checkpoint(tmp_path):
                        "--input_dir_LR", str(tmp_path)], cwd=str(tmp_path))
     assert cfg_err.returncode != 0
     assert "checkpoint file is needed" in (cfg_err.stderr + cfg_err.stdout)
+
+
+@pytest.mark.slow
+def test_live_demo_synthetic(cli_workspace, tmp_path):
+    """Live streaming CLI on the synthetic source, recording to mp4."""
+    root, _ = cli_workspace
+    ck = str(root / "output" / "generator.ckpt")
+    if not os.path.exists(ck):
+        pytest.skip("train test did not run first")
+    out = str(tmp_path / "live.mp4")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = "/root/repo"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "tecogan_tpu.cli.live",
+         "--g_checkpoint", ck, "--source", "synthetic", "--crop_size", "8",
+         "--num_resblock", "2", "--frames", "5", "--no-display",
+         "--output", out],
+        env=env, capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "5 frames" in r.stdout
+    import cv2
+
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    cap.release()
