@@ -136,6 +136,16 @@ def run_train(cfg: TecoConfig) -> None:
         sharding = batch_sharding(mesh)
         print(f"data-parallel over {n_data} devices")
     else:
+        if n_data > 1:
+            import warnings
+
+            warnings.warn(
+                f"batch_size={cfg.batch_size} is not divisible by "
+                f"{n_data} devices — falling back to SINGLE-device "
+                f"training ({n_data - 1} devices idle). Pick a batch size "
+                f"divisible by the device count to enable data parallelism.",
+                stacklevel=1,
+            )
         step_fn = build_train_step(cfg, vgg_apply=vgg_apply)
 
     from ..utils.checkpoint import has_checkpoint, wait_for_async_save

@@ -125,6 +125,13 @@ def build_packed_table_int8(image: jnp.ndarray, group: int = 4) -> jnp.ndarray:
     ~19.4ms (2M x 12B rows) to ~7ms (518k x 32B rows).
     """
     B, H, W, C = image.shape
+    if W % group != 0:
+        # Base index q = x // group can reach W // group when the tail
+        # columns are dropped, silently gathering the wrong row — fail
+        # loudly instead (callers fall back to grid_sample_patch).
+        raise ValueError(
+            f"packed-int8 warp requires W % group == 0 (W={W}, group={group})"
+        )
     q8 = jnp.clip(jnp.round(image.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
     # pad: +1 row (y+1 taps at y=H-1), +group cols (c5 up to group at q_max)
     q8 = jnp.pad(q8, ((0, 0), (0, 1), (0, group), (0, 0)))

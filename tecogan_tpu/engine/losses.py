@@ -76,7 +76,7 @@ def flows_to_grids(gen_flow: jnp.ndarray, parity_half: bool) -> jnp.ndarray:
 def recurrent_feedback(prev_sr_nchw: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Warp the previous SR output by the pseudo-flow grid and pack it
     space-to-depth into 48 LR channels (train.py:98-106).  This is the hot
-    recurrent path the Pallas kernel fuses (ops/pallas/warp_s2d.py)."""
+    recurrent path that engine/fused.py accelerates for inference."""
     warped = grid_sample_nchw(prev_sr_nchw, grid)
     # preprocessLr(deprocess(x)) == (x + 1) / 2 (ops.py:29-36, train.py:101)
     warped = deprocess(warped)
@@ -139,6 +139,26 @@ def generator_unroll(
     return UnrollResult(gen_outputs, gen_flow, warp_loss)
 
 
+def d_input_spec(cfg: TecoConfig) -> Tuple[int, int]:
+    """(channels, spatial size) of the discriminator input.
+
+    Merged mode (default, train.py:172-179): 27 channels at 4*crop_size
+    (crop_dt crops then zero-pads back).  Unmerged mode (the reference's
+    ``Dt_mergeDs=False`` intent at train.py:183-184,196-199 — which crashes
+    in the reference since its D hardcodes 27 input channels): the
+    9-channel warped triplet alone, at the crop_dt-cropped size (the
+    reference feeds the cropped tensor without padding back).
+    """
+    h4 = 4 * cfg.crop_size
+    if cfg.Dt_mergeDs:
+        return 27, h4
+    if cfg.crop_dt < 1.0:
+        c = int(h4 * cfg.crop_dt)
+        off = (h4 - c) // 2
+        return 9, h4 - 2 * off
+    return 9, h4
+
+
 def assemble_triplets(
     r_inputs: jnp.ndarray,
     r_targets: jnp.ndarray,
@@ -146,12 +166,15 @@ def assemble_triplets(
     gen_flow: jnp.ndarray,
     cfg: TecoConfig,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Build the 27-channel real/fake discriminator inputs
-    (train.py:129-199): triplets of [before-warp, warped-by-T_vel,
-    bilinear-upscaled LR], center-cropped by crop_dt and zero-padded back.
+    """Build the real/fake discriminator inputs (train.py:129-199).
 
-    Returns (real_in, fake_in) as (t_batch, 27, 4H, 4W); fake_in carries
-    gradients to the generator (detaching is the caller's choice).
+    Merged mode (Dt_mergeDs, default): 27-channel triplets of
+    [before-warp, warped-by-T_vel, bilinear-upscaled LR], center-cropped by
+    crop_dt and zero-padded back.  Unmerged mode: the 9-channel warped
+    triplet alone at the cropped size (see d_input_spec).
+
+    Returns (real_in, fake_in); fake_in carries gradients to the generator
+    (detaching is the caller's choice).
     """
     B, T, C, H, W = r_inputs.shape
     H4, W4 = 4 * H, 4 * W
@@ -203,33 +226,39 @@ def assemble_triplets(
         off = (H4 - crop_dt) // 2
         crop_dt = H4 - off * 2
 
+    def crop(x_t9hw):
+        if cfg.crop_dt >= 1.0:
+            return x_t9hw
+        return x_t9hw[:, :, off : off + crop_dt, off : off + crop_dt]
+
     def crop_pad(x_t9hw):
         if cfg.crop_dt >= 1.0:
             return x_t9hw
-        cropped = x_t9hw[:, :, off : off + crop_dt, off : off + crop_dt]
-        return jnp.pad(
-            cropped, ((0, 0), (0, 0), (off, off), (off, off))
-        )
-
-    # --- shared triplet pieces ------------------------------------------
-    before_warp = t_tgt.reshape(t_batch, 9, H4, W4)  # train.py:175
-    t_input = r_inputs[:, :t_size].reshape(t_batch, 9, H, W)  # train.py:176
-    input_hi = upscale_four(t_input, layout="NCHW")  # train.py:178
+        return jnp.pad(crop(x_t9hw), ((0, 0), (0, 0), (off, off), (off, off)))
 
     # --- real branch (train.py:165-179) ---------------------------------
     real_warp = grid_sample_nchw(t_tgt, t_vel).reshape(t_batch, 9, H4, W4)
-    real_warp = crop_pad(real_warp)
-    real_in = jnp.concatenate([before_warp, real_warp, input_hi], axis=1)
 
     # --- fake branch (train.py:187-198) ---------------------------------
     fake_vel = (
         t_vel.astype(jnp.float16).astype(jnp.float32) if cfg.bug_parity else t_vel
     )  # T_vel.half() at train.py:187
     fake_warp = grid_sample_nchw(t_gen, fake_vel).reshape(t_batch, 9, H4, W4)
-    fake_warp = crop_pad(fake_warp)
+
+    if not cfg.Dt_mergeDs:
+        # Unmerged Dt: the cropped 9-channel warped triplets go to D
+        # directly (train.py:183-184,196-199 intent; no pad-back).
+        return crop(real_warp), crop(fake_warp)
+
+    # --- merged 27-channel triplets (train.py:172-179,196-198) ----------
+    before_warp = t_tgt.reshape(t_batch, 9, H4, W4)  # train.py:175
+    t_input = r_inputs[:, :t_size].reshape(t_batch, 9, H, W)  # train.py:176
+    input_hi = upscale_four(t_input, layout="NCHW")  # train.py:178
+
+    real_in = jnp.concatenate([before_warp, crop_pad(real_warp), input_hi], axis=1)
     # NOTE: the reference reuses the *target* before_warp for the fake
     # triplet too (train.py:197 reshapes the existing before_warp).
-    fake_in = jnp.concatenate([before_warp, fake_warp, input_hi], axis=1)
+    fake_in = jnp.concatenate([before_warp, crop_pad(fake_warp), input_hi], axis=1)
 
     return real_in, fake_in
 
@@ -262,6 +291,26 @@ def d_layer_loss(
         losses.append(ll)
         total = total + FIX_RANGE * ll / D_LAYER_NORM[i]
     return total, losses
+
+
+def vgg_perceptual_loss(vgg_apply, s_gen_nchw, s_tgt_nchw) -> jnp.ndarray:
+    """Perceptual loss over the reference's three VGG taps
+    (train.py:124-127, 255-273), fixed formulation.
+
+    Features are unit-normalized over channels, so sum(gen*tgt, axis=3) is
+    a per-pixel cosine similarity; minimizing mean(1 - cos) with positive
+    vgg_scaling pulls generated features TOWARD the target's (the raw
+    dot-product the reference sums at train.py:261 would push them apart
+    when added to a minimized loss).
+    """
+    gen_feats = vgg_apply(nchw_to_nhwc(s_gen_nchw), VGG_LAYER_LABELS)
+    tgt_feats = vgg_apply(nchw_to_nhwc(s_tgt_nchw), VGG_LAYER_LABELS)
+    vgg_loss = 0.0
+    for name in VGG_LAYER_LABELS:
+        vgg_loss = vgg_loss + jnp.mean(
+            1.0 - jnp.sum(gen_feats[name] * tgt_feats[name], axis=3)
+        )
+    return vgg_loss
 
 
 def tecogan_losses(
@@ -324,13 +373,7 @@ def tecogan_losses(
     # VGG perceptual loss (train.py:124-127, 255-273) — fixed formulation
     # (the reference's is broken when enabled; SURVEY component 15).
     if cfg.vgg_scaling > 0.0 and vgg_apply is not None:
-        gen_feats = vgg_apply(nchw_to_nhwc(s_gen), VGG_LAYER_LABELS)
-        tgt_feats = vgg_apply(nchw_to_nhwc(s_tgt), VGG_LAYER_LABELS)
-        vgg_loss = 0.0
-        for name in VGG_LAYER_LABELS:
-            vgg_loss = vgg_loss + jnp.mean(
-                jnp.sum(gen_feats[name] * tgt_feats[name], axis=3)
-            )
+        vgg_loss = vgg_perceptual_loss(vgg_apply, s_gen, s_tgt)
         gen_loss = gen_loss + cfg.vgg_scaling * vgg_loss
         metrics["vgg_all"] = vgg_loss
 

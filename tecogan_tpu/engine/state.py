@@ -68,12 +68,17 @@ def model_defs(cfg: TecoConfig):
 
 
 def init_state(cfg: TecoConfig, rng: jax.Array) -> TrainState:
+    from .losses import d_input_spec
+
     gen, disc = model_defs(cfg)
     rng_g, rng_d = jax.random.split(rng)
     h = cfg.crop_size
     params_g = gen.init(rng_g, jnp.zeros((1, h, h, 51), jnp.float32))["params"]
+    # D input: 27ch merged triplets by default; 9ch cropped warped triplets
+    # when Dt_mergeDs is off (losses.d_input_spec).
+    d_ch, d_hw = d_input_spec(cfg)
     d_vars = disc.init(
-        rng_d, jnp.zeros((1, 4 * h, 4 * h, 27), jnp.float32), train=True
+        rng_d, jnp.zeros((1, d_hw, d_hw, d_ch), jnp.float32), train=True
     )
     opt_g_tx, opt_d_tx, _ = make_optimizers(cfg)
     return TrainState(

@@ -86,13 +86,14 @@ def _build_train_step(cfg: TecoConfig, vgg_apply=None, donate: bool = True):
         # D-balance gating: the reference parses --Dbalance and threads
         # counter1/counter2 but never gates anything (main.py:123,
         # train.py:350-351 — SURVEY §5.1.5).  Intended behavior (active in
-        # fixed mode): skip the D update when D is winning, i.e. the
-        # balance EMA is below -Dbalance.
+        # fixed mode): t_balance = mean(log(D_real)) + mean(-log(D_fake))
+        # grows large and POSITIVE as D wins (D_real→1, D_fake→0), so skip
+        # the D update when the balance EMA exceeds the threshold.
         tb = aux["metrics"]["t_balance"]
         if cfg.bug_parity:
             apply_d = jnp.array(True)
         else:
-            apply_d = tb > -cfg.Dbalance
+            apply_d = tb < cfg.Dbalance
         updates_d = jax.tree.map(
             lambda u: jnp.where(apply_d, u, jnp.zeros_like(u)), updates_d
         )

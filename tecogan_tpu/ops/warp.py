@@ -11,9 +11,10 @@ y`` (height coord), both normalized to [-1, 1]; with align_corners=False the
 unnormalized coordinate is ``((g + 1) * size - 1) / 2``.  Out-of-range
 samples read zeros; each of the four bilinear taps is masked independently.
 
-This file is the XLA reference implementation; the fused Pallas kernel in
-``tecogan_tpu/ops/pallas/warp_s2d.py`` implements the same contract for the
-hot recurrent-feedback path.
+This file is the XLA reference implementation; the fast paths for the hot
+recurrent-feedback loop live in ``tecogan_tpu/engine/fused.py``
+(packed-int8 single-gather warp) and ``tecogan_tpu/ops/pallas/
+warp_combine.py`` (Pallas tap-combine kernel).
 """
 
 from __future__ import annotations

@@ -45,6 +45,13 @@ def _path_str(entry) -> str:
 
 
 def save_pytree(path: str, tree: Any, meta: Optional[Dict[str, Any]] = None) -> None:
+    write_pytree_tmp(path, tree, meta)
+    os.replace(path + ".tmp.npz", path)
+
+
+def write_pytree_tmp(path: str, tree: Any, meta: Optional[Dict[str, Any]] = None) -> str:
+    """Serialize to ``path + '.tmp.npz'`` without publishing it; the caller
+    renames.  Lets multi-file checkpoints commit all-or-nothing."""
     flat = _flatten(tree)
     if meta:
         for k, v in meta.items():
@@ -52,7 +59,7 @@ def save_pytree(path: str, tree: Any, meta: Optional[Dict[str, Any]] = None) -> 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **flat)
-    os.replace(tmp, path)
+    return tmp
 
 
 def load_flat(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
@@ -112,19 +119,26 @@ def save_train_state(output_dir: str, state, epoch: int, async_save: bool = Fals
     import threading
 
     def _write():
-        save_pytree(
-            generator_ckpt_path(output_dir),
+        # Serialize BOTH files to tmp names first, then rename both: a crash
+        # mid-save can never publish a new G paired with a stale D.
+        gp = generator_ckpt_path(output_dir)
+        dp = discriminator_ckpt_path(output_dir)
+        g_tmp = write_pytree_tmp(
+            gp,
             {"model_state_dict": state.params_g, "optimizer_state_dict": state.opt_g},
             meta={"epoch": epoch, "step": int(state.step)},
         )
-        save_pytree(
-            discriminator_ckpt_path(output_dir),
+        d_tmp = write_pytree_tmp(
+            dp,
             {
                 "model_state_dict": state.params_d,
                 "optimizer_state_dict": state.opt_d,
                 "batch_stats": state.batch_stats_d,
             },
+            meta={"epoch": epoch},
         )
+        os.replace(g_tmp, gp)
+        os.replace(d_tmp, dp)
 
     prev = _ASYNC_SAVER["thread"]
     if prev is not None:
@@ -164,7 +178,7 @@ def load_train_state(output_dir: str, state, g_path=None, d_path=None):
         {"model_state_dict": state.params_g, "optimizer_state_dict": state.opt_g},
         g_flat,
     )
-    d_flat, _ = load_flat(dp)
+    d_flat, d_meta = load_flat(dp)
     d_tree = restore_into(
         {
             "model_state_dict": state.params_d,
@@ -173,6 +187,11 @@ def load_train_state(output_dir: str, state, g_path=None, d_path=None):
         },
         d_flat,
     )
+    if "epoch" in d_meta and int(d_meta["epoch"]) != int(g_meta.get("epoch", 0)):
+        raise ValueError(
+            f"torn checkpoint pair: generator epoch {int(g_meta.get('epoch', 0))} "
+            f"!= discriminator epoch {int(d_meta['epoch'])} in {output_dir}"
+        )
     epoch = int(g_meta.get("epoch", 0))
     step = int(g_meta.get("step", 0))
     new_state = state.replace(

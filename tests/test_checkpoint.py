@@ -93,3 +93,28 @@ def test_async_save_and_auto_resume_probe(tmp_path):
     assert has_checkpoint(str(tmp_path))
     s2, epoch = load_train_state(str(tmp_path), init_state(c, jax.random.PRNGKey(1)))
     assert epoch == 2
+
+
+def test_torn_pair_detected(tmp_path):
+    """A new G paired with a stale D (different epoch stamps) must be
+    rejected on resume instead of silently mixing states."""
+    import pytest
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.engine import init_state
+    from tecogan_tpu.utils.checkpoint import (
+        save_train_state, load_train_state, generator_ckpt_path,
+        discriminator_ckpt_path,
+    )
+    import jax
+
+    cfg = TecoConfig(crop_size=8, num_resblock=1, discrim_resblocks=1,
+                     discrim_channels=16, precision="fp32")
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    save_train_state(d1, state, epoch=1)
+    save_train_state(d2, state, epoch=2)
+    # simulate a crash between the pair publishes: epoch-2 G, epoch-1 D
+    import shutil
+    shutil.copy(generator_ckpt_path(d2), generator_ckpt_path(d1))
+    with pytest.raises(ValueError, match="torn checkpoint pair"):
+        load_train_state(d1, state)

@@ -34,9 +34,9 @@ def test_parity_mode_never_gates_d(rng):
 
 
 def test_fixed_mode_gates_d_when_winning(rng):
-    """With a huge Dbalance threshold the gate must skip the D update
-    (t_balance starts near log(0.5)+0.69 ≈ 0)."""
-    cfg = tiny_cfg(bug_parity=False, Dbalance=-100.0)  # tb > 100 impossible
+    """Gate direction: apply_d = (tb < Dbalance).  tb < -100 is impossible
+    (t_balance starts near 0), so the D update must be skipped."""
+    cfg = tiny_cfg(bug_parity=False, Dbalance=-100.0)
     state = init_state(cfg, jax.random.PRNGKey(0))
     step = build_train_step(cfg, donate=False)
     lr, hr = make_batch(cfg, rng)
@@ -48,6 +48,35 @@ def test_fixed_mode_gates_d_when_winning(rng):
         state.params_d, new_state.params_d,
     )
     assert max(jax.tree.leaves(diffs)) == 0.0
+
+
+def test_gate_direction_tracks_t_balance(rng):
+    """Drive the gate across the measured t_balance of a fixed (state,
+    batch): a threshold just BELOW the winning measure must skip the D
+    update, a threshold just ABOVE it must apply it.  t_balance =
+    mean(log(D_real)) + mean(-log(D_fake)) grows as D wins, so skipping
+    when tb exceeds Dbalance is the correct direction."""
+    state = init_state(tiny_cfg(bug_parity=False), jax.random.PRNGKey(0))
+    lr, hr = make_batch(tiny_cfg(), rng)
+
+    probe = build_train_step(tiny_cfg(bug_parity=False, Dbalance=1e9), donate=False)
+    _, metrics, _ = probe(state, lr, hr)
+    tb = float(metrics["t_balance"])
+
+    def d_moved(dbalance):
+        cfg = tiny_cfg(bug_parity=False, Dbalance=dbalance)
+        step = build_train_step(cfg, donate=False)
+        new_state, m, _ = step(state, lr, hr)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.params_d, new_state.params_d,
+        )
+        return max(jax.tree.leaves(diffs)) > 0.0, float(m["withD_counter"])
+
+    moved_hi, counter_hi = d_moved(tb + 1.0)  # tb below threshold -> train D
+    moved_lo, counter_lo = d_moved(tb - 1.0)  # tb above threshold -> skip D
+    assert moved_hi and counter_hi == 1.0
+    assert not moved_lo and counter_lo == 0.0
 
 
 def test_fixed_mode_allows_d_normally(rng):

@@ -203,3 +203,16 @@ def test_fused_first_frame_matches_zero_feedback(rng):
     ref = first_frame(gen, state.params_g, lr0)
     got = fused_first_frame(gen, {"params": state.params_g}, state.params_g, lr0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_int8_rejects_indivisible_width(rng):
+    """W % group != 0 silently sampled wrong rows before; must fail loudly."""
+    import pytest
+    from tecogan_tpu.engine.fused import build_packed_table_int8, grid_sample_packed_int8
+
+    img = jnp.asarray(rng.random((1, 8, 10, 3)).astype(np.float32))
+    grid = jnp.zeros((1, 8, 10, 2), jnp.float32)
+    with pytest.raises(ValueError, match="W % group"):
+        build_packed_table_int8(img, group=4)
+    with pytest.raises(ValueError, match="W % group"):
+        grid_sample_packed_int8(img, grid, group=4)

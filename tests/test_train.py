@@ -163,3 +163,74 @@ def test_set_epoch_changes_lr(rng):
     lr, hr = make_batch(cfg, rng)
     _, metrics, _ = step_fn(state, lr, hr)
     np.testing.assert_allclose(float(metrics["learning_rate"]), 0.8e-4, rtol=1e-6)
+
+
+def _stub_vgg_apply(images01_nhwc, deep_list):
+    """Unit-normalized 'features' = the image itself, per requested tap —
+    lets VGG-loss tests run without building a real VGG."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(images01_nhwc), axis=-1, keepdims=True) + 1e-12)
+    feat = images01_nhwc / norm
+    return {name: feat for name in deep_list}
+
+
+def test_vgg_loss_zero_at_target_and_positive_away(rng):
+    from tecogan_tpu.engine.losses import vgg_perceptual_loss
+
+    tgt = jnp.asarray(rng.random((2, 3, 8, 8)).astype(np.float32)) + 0.1
+    same = float(vgg_perceptual_loss(_stub_vgg_apply, tgt, tgt))
+    np.testing.assert_allclose(same, 0.0, atol=1e-5)
+    gen = jnp.asarray(rng.random((2, 3, 8, 8)).astype(np.float32)) + 0.1
+    away = float(vgg_perceptual_loss(_stub_vgg_apply, gen, tgt))
+    assert away > 1e-3
+
+
+def test_vgg_loss_gradient_points_toward_target(rng):
+    """Minimizing the loss must INCREASE feature cosine similarity: one
+    gradient step on the generated images lowers the loss."""
+    from tecogan_tpu.engine.losses import vgg_perceptual_loss
+
+    tgt = jnp.asarray(rng.random((2, 3, 8, 8)).astype(np.float32)) + 0.1
+    gen = jnp.asarray(rng.random((2, 3, 8, 8)).astype(np.float32)) + 0.1
+
+    loss_fn = lambda g: vgg_perceptual_loss(_stub_vgg_apply, g, tgt)
+    l0, grad = jax.value_and_grad(loss_fn)(gen)
+    l1 = loss_fn(gen - 0.1 * grad)
+    assert float(l1) < float(l0)
+
+
+def test_vgg_scaling_enabled_in_train_step(rng):
+    cfg = tiny_cfg(bug_parity=False, vgg_scaling=0.2)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(cfg, vgg_apply=_stub_vgg_apply, donate=False)
+    lr, hr = make_batch(cfg, rng)
+    _, metrics, _ = step_fn(state, lr, hr)
+    assert np.isfinite(float(metrics["vgg_all"]))
+    assert float(metrics["vgg_all"]) >= 0.0
+    assert np.isfinite(float(metrics["gen_loss"]))
+
+
+def test_unmerged_dt_path_runs(rng):
+    """--Dt_mergeDs False: D consumes the 9-channel cropped warped triplet
+    (the reference's intent at train.py:183-199, which crashes in the
+    reference since its D hardcodes 27 input channels)."""
+    from tecogan_tpu.engine.losses import d_input_spec
+
+    ch, hw = d_input_spec(tiny_cfg(Dt_mergeDs=False))
+    assert ch == 9
+    assert hw == 24  # crop_dt=0.75 of 32: int(32*0.75)=24, off=4, 32-8=24
+
+    # 24px collapses to zero through D's five stride-2 convs at this tiny
+    # test crop (real crops are >=128 -> 96px cropped); disable crop_dt to
+    # exercise the unmerged step end-to-end at 32px.
+    cfg = tiny_cfg(bug_parity=False, Dt_mergeDs=False, crop_dt=1.0)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(cfg, donate=False)
+    lr, hr = make_batch(cfg, rng)
+    new_state, metrics, _ = step_fn(state, lr, hr)
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert np.isfinite(float(metrics["d_loss"]))
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.params_d, new_state.params_d,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0.0
