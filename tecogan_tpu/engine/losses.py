@@ -377,13 +377,22 @@ def tecogan_losses(
         gen_loss = gen_loss + cfg.vgg_scaling * vgg_loss
         metrics["vgg_all"] = vgg_loss
 
+    # Reference aliasing quirk (bug_parity): ``gen_loss = content_loss;
+    # fnet_loss = content_loss`` bind the SAME tensor, and torch ``+=`` is
+    # in-place — so the fnet accumulations (train.py:283,295, dead FNet)
+    # land on gen_loss too.  Net effect: ping-pong and adversarial terms
+    # are added TWICE, and the mutated tensor sits in update_list, so the
+    # reference's logged "l2_content_loss" IS the final gen loss.  Grads
+    # are unaffected in parity mode (both doubled terms are detached).
+    alias_mult = 2.0 if cfg.bug_parity else 1.0
+
     # ping-pong L1 (train.py:275-285)
     if cfg.pingpang:
         first = gen_outputs[:, 0 : cfg.RNN_N - 1]
         last_rev = jnp.flip(gen_outputs, axis=1)[:, 0 : cfg.RNN_N - 1]
         pploss = jnp.mean(jnp.abs(first - last_rev))
         if cfg.pp_scaling > 0:
-            gen_loss = gen_loss + pploss * cfg.pp_scaling
+            gen_loss = gen_loss + alias_mult * pploss * cfg.pp_scaling
         metrics["PingPang"] = pploss
 
     # adversarial terms (train.py:287-300)
@@ -397,7 +406,7 @@ def tecogan_losses(
     dt_ratio = jnp.minimum(
         cfg.Dt_ratio_max, cfg.Dt_ratio_0 + cfg.Dt_ratio_add * global_step.astype(jnp.float32)
     )
-    gen_loss = gen_loss + cfg.ratio * t_adversarial_loss
+    gen_loss = gen_loss + alias_mult * cfg.ratio * t_adversarial_loss
     metrics["t_adversarial_loss"] = t_adversarial_loss
     if cfg.D_LAYERLOSS:
         gen_loss = gen_loss + sum_layer_loss * dt_ratio
@@ -413,8 +422,44 @@ def tecogan_losses(
     metrics["t_discrim_real_output"] = jnp.mean(real_score)
     metrics["t_discrim_fake_output"] = jnp.mean(fake_score)
     metrics["All_loss_Gen"] = gen_loss
+    if cfg.bug_parity:
+        # the aliased tensor in update_list reads as the FINAL gen loss
+        # (see alias_mult note above); the true content term is preserved
+        # under a _true suffix.
+        metrics["l2_content_loss_true"] = metrics["l2_content_loss"]
+        metrics["l2_content_loss"] = gen_loss
     metrics["t_balance"] = tb
     metrics["Dst_ratio"] = dt_ratio
+
+    if cfg.bug_parity:
+        # Reference metric-EMA quirk (train.py:330-333): ONE shadow slot
+        # "Loss_average" is registered (zero-init) and then forward()'d
+        # sequentially over the whole update_list, so each avg leaks 1% of
+        # the PREVIOUS metric's avg: avg_i = 0.99*x_i + 0.01*avg_{i-1}.
+        # Reproduced in the reference's exact list order; tb (already
+        # 0.99x) and Dst_ratio are appended after the comprehension,
+        # unscaled (train.py:345-348).  Verified value-for-value against
+        # the real reference in tests/test_reference_parity.py.
+        chain = []
+        if cfg.D_LAYERLOSS:
+            chain += [f"D_layer_{i}_loss" for i in range(4)]
+            chain += ["D_layer_loss_sum"]
+        chain += ["l2_content_loss", "l2_warp_loss"]
+        if "vgg_all" in metrics:
+            # the reference would chain vgg_loss_2..4 first (train.py:270),
+            # but its VGG path crashes when enabled — only the total is
+            # emitted here.
+            chain += ["vgg_all"]
+        if cfg.pingpang:
+            chain += ["PingPang"]
+        chain += [
+            "t_adversarial_loss", "t_discrim_loss",
+            "t_discrim_real_output", "t_discrim_fake_output", "All_loss_Gen",
+        ]
+        shadow = jnp.zeros((), jnp.float32)
+        for k in chain:
+            shadow = 0.99 * metrics[k] + 0.01 * shadow
+            metrics[f"{k}_avg"] = shadow
 
     aux = {
         "metrics": metrics,

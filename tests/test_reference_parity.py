@@ -1,0 +1,240 @@
+"""TRUE reference parity: compare against the ACTUAL reference code
+imported from /root/reference/code (via tests/_refbridge.py), not
+builder-authored stand-ins.
+
+Covers the BASELINE.md north star ("PSNR within 0.1 dB of the reference"):
+one set of weights is loaded into both stacks through
+tools/convert_torch_ckpt.py, then
+  * generator / discriminator single forwards must match,
+  * the reference inference loop (main.py:173-216) replayed in torch must
+    match our build_clip_inference per-frame (agreement reported in dB),
+  * one full TecoGAN() loss evaluation (code/train.py:49-348) must match
+    our tecogan_losses metric-for-metric in bug_parity mode.
+"""
+
+import sys
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+sys.path.insert(0, "/root/repo/tools")
+from convert_torch_ckpt import convert_generator, convert_discriminator
+
+from _refbridge import load_reference, half_as_f32_roundtrip
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.models import Generator, Discriminator
+from tecogan_tpu.engine.inference import build_clip_inference
+from tecogan_tpu.engine.losses import tecogan_losses, discriminator_loss
+from tecogan_tpu.engine.state import model_defs
+
+
+def _args_ns(cfg: TecoConfig) -> types.SimpleNamespace:
+    """Mirror a TecoConfig into the reference's argparse namespace."""
+    return types.SimpleNamespace(
+        num_resblock=cfg.num_resblock,
+        discrim_resblocks=cfg.discrim_resblocks,
+        discrim_channels=cfg.discrim_channels,
+        crop_size=cfg.crop_size,
+        RNN_N=cfg.RNN_N,
+        learning_rate=cfg.learning_rate,
+        pingpang=cfg.pingpang,
+        pp_scaling=cfg.pp_scaling,
+        vgg_scaling=cfg.vgg_scaling,
+        ratio=cfg.ratio,
+        EPS=cfg.EPS,
+        Dt_ratio_0=cfg.Dt_ratio_0,
+        Dt_ratio_add=cfg.Dt_ratio_add,
+        Dt_ratio_max=cfg.Dt_ratio_max,
+        crop_dt=cfg.crop_dt,
+        Dt_mergeDs=cfg.Dt_mergeDs,
+        D_LAYERLOSS=cfg.D_LAYERLOSS,
+    )
+
+
+def _to_jax_params(tree):
+    return jax.tree.map(jnp.asarray, tree)
+
+
+def test_real_generator_forward_parity(rng):
+    ref_models, _, _ = load_reference()
+    cfg = TecoConfig(num_resblock=4, crop_size=16, precision="fp32")
+    torch.manual_seed(0)
+    tg = ref_models.generator(3, args=_args_ns(cfg)).eval()
+    params = convert_generator(tg.state_dict(), num_resblock=4)
+
+    x = rng.random((2, 51, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = tg(torch.from_numpy(x)).numpy()
+
+    out = Generator(num_resblock=4).apply(
+        {"params": _to_jax_params(params)},
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+    )
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_real_discriminator_forward_parity(rng):
+    ref_models, _, _ = load_reference()
+    cfg = TecoConfig(discrim_resblocks=1, discrim_channels=16, precision="fp32")
+    torch.manual_seed(1)
+    td = ref_models.discriminator(args=_args_ns(cfg)).train()
+    params, stats = convert_discriminator(td.state_dict(), resblocks=1)
+
+    # fc is hardcoded to 48 inputs in the reference (models.py:123) -> the
+    # input must be 128x128 (crop_size 32).
+    x = rng.random((2, 27, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        ref_score, ref_feats = td(torch.from_numpy(x))
+
+    d = Discriminator(resblocks=1, channels=16)
+    (score, feats), _ = d.apply(
+        {"params": _to_jax_params(params), "batch_stats": _to_jax_params(stats)},
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        train=True,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(np.asarray(score), ref_score.numpy(), atol=5e-5)
+    for mine, theirs in zip(feats, ref_feats):
+        got = np.transpose(np.asarray(mine), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, theirs.numpy(), atol=5e-4)
+
+
+def _torch_inference_replay(ref_models, ref_ops, tg, clip_nchw, crop):
+    """The reference inference loop (main.py:173-216) on CPU: pseudo-flow
+    from the previous LR frame, f16-rounded grid, grid_sample warp,
+    space-to-depth feedback, recurrent generator calls."""
+    T = clip_nchw.shape[1]
+    with torch.no_grad(), half_as_f32_roundtrip():
+        frame_pre = clip_nchw[:, :-1].reshape(T - 1, 3, crop, crop)
+        gen_flow = ref_ops.upscale_four(frame_pre * 4.0)[:, 0:2]
+        gen_flow = gen_flow.reshape(1, T - 1, 2, crop * 4, crop * 4)
+
+        input0 = torch.cat(
+            [clip_nchw[:, 0], torch.zeros(1, 48, crop, crop)], dim=1
+        )
+        prev = tg(input0).view(1, 3, crop * 4, crop * 4)
+        outs = [prev]
+        for i in range(T - 1):
+            grid = gen_flow[:, i].view(1, crop * 4, crop * 4, 2)
+            warp = F.grid_sample(prev, grid.half())
+            warp = ref_ops.preprocessLr(ref_ops.deprocess(warp))
+            fb = warp.view(1, 3, crop, 4, crop, 4).permute(0, 1, 3, 5, 2, 4)
+            fb = fb.reshape(1, 48, crop, crop)
+            inp = torch.cat([clip_nchw[:, i + 1], fb], dim=1)
+            prev = tg(inp)
+            outs.append(prev)
+    return torch.stack(outs, dim=1)  # (1, T, 3, 4c, 4c)
+
+
+def test_inference_loop_parity_vs_reference(rng):
+    """Same weights, same clip: the reference's recurrent inference loop in
+    torch vs our scan-based build_clip_inference.  The BASELINE target is
+    'PSNR within 0.1 dB' — we demand the diff itself be above 60 dB."""
+    ref_models, _, ref_ops = load_reference()
+    cfg = TecoConfig(
+        num_resblock=4, crop_size=16, precision="fp32", bug_parity=True,
+        jit=True,
+    )
+    torch.manual_seed(0)
+    tg = ref_models.generator(3, args=_args_ns(cfg)).eval()
+    params = _to_jax_params(convert_generator(tg.state_dict(), num_resblock=4))
+
+    T, c = 6, cfg.crop_size
+    clip = rng.random((1, T, 3, c, c)).astype(np.float32)
+    ref_out = _torch_inference_replay(
+        ref_models, ref_ops, tg, torch.from_numpy(clip), c
+    ).numpy()
+
+    infer = build_clip_inference(cfg)
+    lr_nhwc = jnp.transpose(jnp.asarray(clip), (0, 1, 3, 4, 2))
+    ours = np.transpose(np.asarray(infer(params, lr_nhwc)), (0, 1, 4, 2, 3))
+
+    diff = ours - ref_out
+    mse = float(np.mean(np.square(diff)))
+    agreement_db = 10.0 * np.log10(1.0 / max(mse, 1e-20))
+    print(f"\ninference agreement vs reference: {agreement_db:.1f} dB "
+          f"(maxdiff {np.abs(diff).max():.2e})")
+    assert np.abs(diff).max() < 5e-4
+    assert agreement_db > 60.0
+
+
+def test_tecogan_loss_parity_vs_reference(rng):
+    """One full TecoGAN() evaluation of the actual reference loss engine
+    (code/train.py:49-348) vs our tecogan_losses, same weights and batch,
+    metric for metric."""
+    ref_models, ref_train, _ = load_reference()
+    cfg = TecoConfig(
+        num_resblock=2, discrim_resblocks=1, discrim_channels=16,
+        crop_size=32, RNN_N=10, precision="fp32", bug_parity=True,
+        batch_size=1,
+    )
+    args = _args_ns(cfg)
+    torch.manual_seed(0)
+    tg = ref_models.generator(3, args=args).train()
+    td = ref_models.discriminator(args=args).train()
+
+    params_g = _to_jax_params(convert_generator(tg.state_dict(), cfg.num_resblock))
+    params_d_, stats_d_ = convert_discriminator(
+        td.state_dict(), cfg.discrim_resblocks
+    )
+    params_d, stats_d = _to_jax_params(params_d_), _to_jax_params(stats_d_)
+
+    B, T, c = 1, cfg.RNN_N, cfg.crop_size
+    lr = rng.random((B, T, 3, c, c)).astype(np.float32)
+    hr = rng.random((B, T, 3, 4 * c, 4 * c)).astype(np.float32)
+
+    opt_g = torch.optim.Adam(tg.parameters(), lr=cfg.learning_rate)
+    opt_d = torch.optim.Adam(td.parameters(), lr=cfg.learning_rate)
+    with half_as_f32_roundtrip():
+        net = ref_train.TecoGAN(
+            torch.from_numpy(lr), torch.from_numpy(hr), td, tg, args,
+            0, 0.0, 0.0, opt_g, opt_d,
+        )
+    ref_metrics = {
+        name: float(val)
+        for name, val in zip(net.update_list_name, net.update_list)
+    }
+    ref_avg = {
+        name: float(val)
+        for name, val in zip(net.update_list_name, net.update_list_avg)
+    }
+
+    gen, disc = model_defs(cfg)
+    gen_loss, aux = tecogan_losses(
+        gen, disc, params_g, params_d, stats_d,
+        jnp.asarray(lr), jnp.asarray(hr), jnp.zeros((), jnp.int32), cfg,
+    )
+    d_loss, _ = discriminator_loss(
+        disc, params_d, stats_d, aux["real_in"], aux["fake_in"], cfg
+    )
+    m = {k: float(v) for k, v in aux["metrics"].items()}
+
+    for name in (
+        "l2_content_loss", "l2_warp_loss",
+        "D_layer_0_loss", "D_layer_1_loss", "D_layer_2_loss", "D_layer_3_loss",
+        "D_layer_loss_sum", "t_adversarial_loss", "t_discrim_loss",
+        "t_discrim_real_output", "t_discrim_fake_output", "All_loss_Gen",
+    ):
+        np.testing.assert_allclose(
+            m[name], ref_metrics[name], rtol=5e-4, atol=1e-5,
+            err_msg=f"metric {name}",
+        )
+        # the reference's update_list_avg applies a fresh-EMA 0.99x to every
+        # logged scalar (train.py:330-333); our _avg variants mirror it
+        np.testing.assert_allclose(
+            m[f"{name}_avg"], ref_avg[name], rtol=5e-4, atol=1e-5,
+            err_msg=f"metric {name}_avg",
+        )
+    # tb / Dst_ratio are appended to update_list_avg (train.py:345-348)
+    np.testing.assert_allclose(m["t_balance"], ref_avg["t_balance"],
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(m["Dst_ratio"], ref_avg["Dst_ratio"], rtol=1e-6)
+    np.testing.assert_allclose(float(gen_loss), float(net.gen_loss),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(float(d_loss), float(net.d_loss),
+                               rtol=5e-4, atol=1e-5)

@@ -1,11 +1,12 @@
-"""Torch-checkpoint conversion parity.
+"""Torch-checkpoint conversion parity — against the REAL reference modules.
 
-Builds torch models as *test fixtures* with the reference's state-dict key
-layout (documented at code/models.py:61-146 — attribute names conv/resids/
-conv_trans/output and block1..5/resids1..3/fc), converts their weights with
-tools/convert_torch_ckpt.py, and asserts our JAX models produce the same
-outputs.  This is the bit-parity bridge: a user's reference generator.pt
-must drop into this framework and produce matching frames.
+Earlier revisions tested against builder-authored torch fixtures with the
+same assumed state-dict layout, which was circular (a layout misreading
+would still pass).  Now the actual reference models are imported from
+/root/reference/code via tests/_refbridge.py; end-to-end conversion parity
+for the default shapes lives in tests/test_reference_parity.py.  This file
+covers the converter surface those tests don't: non-default model sizes and
+the VGG19 state-dict mapping.
 """
 
 import sys
@@ -17,122 +18,44 @@ import torch
 import torch.nn as nn
 
 sys.path.insert(0, "/root/repo/tools")
-from convert_torch_ckpt import convert_generator, convert_discriminator
+from convert_torch_ckpt import (
+    convert_generator,
+    convert_discriminator,
+    convert_vgg19,
+    _VGG_TORCHVISION_IDX,
+)
 
+from _refbridge import load_reference
+from test_reference_parity import _args_ns
+from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.models import Generator, Discriminator
+from tecogan_tpu.models.vgg import VGG19, _VGG19_CFG
 
 
-def _conv(i, o, k=3, s=1, bias=True):
-    return nn.Conv2d(i, o, k, s, padding=(k - 1) // 2, bias=bias)
+def test_generator_conversion_nondefault_size(rng):
+    """Conversion must track num_resblock (reference ModuleList length)."""
+    ref_models, _, _ = load_reference()
+    cfg = TecoConfig(num_resblock=7, precision="fp32")
+    torch.manual_seed(3)
+    tg = ref_models.generator(3, args=_args_ns(cfg)).eval()
+    params = convert_generator(tg.state_dict(), num_resblock=7)
 
-
-def _resblock_t(i, o):
-    return nn.Sequential(_conv(i, o), nn.ReLU(), _conv(o, o, bias=False))
-
-
-class TorchGenFixture(nn.Module):
-    """State-dict-compatible stand-in for the reference generator
-    (keys: conv.0, resids.N.{0,2}, conv_trans.{0,2,3,4,6}, output)."""
-
-    def __init__(self, num_resblock=4):
-        super().__init__()
-        self.conv = nn.Sequential(_conv(51, 64), nn.ReLU())
-        self.resids = nn.ModuleList(
-            [_resblock_t(64, 64) for _ in range(num_resblock)]
-        )
-        self.conv_trans = nn.Sequential(
-            nn.ConvTranspose2d(64, 64, 3, 2, padding=1, output_padding=1),
-            nn.ReLU(),
-            _resblock_t(64, 64),
-            _resblock_t(64, 128),
-            nn.ConvTranspose2d(128, 128, 3, 2, padding=1, output_padding=1),
-            nn.ReLU(),
-            _conv(128, 64),
-            nn.ReLU(),
-        )
-        self.output = _conv(64, 3)
-
-    def forward(self, x):
-        net = self.conv(x)
-        for blk in self.resids:
-            net = blk(net) + net
-        net = self.conv_trans(net)
-        return torch.sigmoid(self.output(net))
-
-
-class TorchDiscFixture(nn.Module):
-    """State-dict-compatible stand-in for the reference discriminator
-    (keys: conv.0, block1..5.{0,1}, resids1..3.N.{0,1}, fc)."""
-
-    def __init__(self, resblocks=2, channels=32):
-        super().__init__()
-
-        def dblock(i, o):
-            return nn.Sequential(
-                nn.Conv2d(i, o, 4, 2, padding=1, bias=False),
-                nn.BatchNorm2d(o, eps=0.001),
-                nn.LeakyReLU(0.2),
-            )
-
-        def resgroup(c):
-            return nn.ModuleList(
-                [
-                    nn.Sequential(_resblock_t(c, c), nn.BatchNorm2d(c, eps=0.001))
-                    for _ in range(resblocks)
-                ]
-            )
-
-        self.conv = nn.Sequential(_conv(27, 64), nn.LeakyReLU(0.2))
-        self.block1 = dblock(64, 64)
-        self.resids1 = resgroup(64)
-        self.block2 = dblock(64, channels)
-        self.resids2 = resgroup(channels)
-        self.block3 = dblock(channels, channels)
-        self.resids3 = resgroup(channels)
-        self.block4 = dblock(channels, 64)
-        self.block5 = dblock(64, 3)
-        self.fc = nn.Linear(48, 1)
-
-    def forward(self, x):
-        feats = []
-        net = self.conv(x)
-        net = self.block1(net)
-        for b in self.resids1:
-            net = b(net) + net
-        feats.append(net)
-        net = self.block2(net)
-        for b in self.resids2:
-            net = b(net) + net
-        feats.append(net)
-        net = self.block3(net)
-        for b in self.resids3:
-            net = b(net) + net
-        feats.append(net)
-        net = self.block4(net)
-        feats.append(net)
-        net = self.block5(net)
-        return torch.sigmoid(self.fc(net.reshape(net.shape[0], -1))), feats
-
-
-def test_generator_conversion_forward_parity(rng):
-    torch.manual_seed(0)
-    tg = TorchGenFixture(num_resblock=4).eval()
-    params = convert_generator(tg.state_dict(), num_resblock=4)
-
-    x = rng.random((2, 51, 8, 8)).astype(np.float32)
+    x = rng.random((1, 51, 8, 8)).astype(np.float32)
     with torch.no_grad():
         ref = tg(torch.from_numpy(x)).numpy()
-
-    g = Generator(num_resblock=4)
-    x_nhwc = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
-    out = g.apply({"params": jax.tree.map(jnp.asarray, params)}, x_nhwc)
+    out = Generator(num_resblock=7).apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+    )
     got = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
-def test_discriminator_conversion_forward_parity(rng):
-    torch.manual_seed(0)
-    td = TorchDiscFixture(resblocks=2, channels=32).train()
+def test_discriminator_conversion_nondefault_size(rng):
+    ref_models, _, _ = load_reference()
+    cfg = TecoConfig(discrim_resblocks=2, discrim_channels=32, precision="fp32")
+    torch.manual_seed(4)
+    td = ref_models.discriminator(args=_args_ns(cfg)).train()
     params, stats = convert_discriminator(td.state_dict(), resblocks=2)
 
     x = rng.random((2, 27, 128, 128)).astype(np.float32)
@@ -140,17 +63,68 @@ def test_discriminator_conversion_forward_parity(rng):
         ref_score, ref_feats = td(torch.from_numpy(x))
 
     d = Discriminator(resblocks=2, channels=32)
-    variables = {
-        "params": jax.tree.map(jnp.asarray, params),
-        "batch_stats": jax.tree.map(jnp.asarray, stats),
-    }
-    x_nhwc = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
     (score, feats), _ = d.apply(
-        variables, x_nhwc, train=True, mutable=["batch_stats"]
+        {
+            "params": jax.tree.map(jnp.asarray, params),
+            "batch_stats": jax.tree.map(jnp.asarray, stats),
+        },
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        train=True,
+        mutable=["batch_stats"],
     )
-    np.testing.assert_allclose(
-        np.asarray(score), ref_score.numpy(), atol=5e-5
-    )
+    np.testing.assert_allclose(np.asarray(score), ref_score.numpy(), atol=5e-5)
     for mine, theirs in zip(feats, ref_feats):
         got = np.transpose(np.asarray(mine), (0, 3, 1, 2))
         np.testing.assert_allclose(got, theirs.numpy(), atol=5e-4)
+
+
+def test_converted_params_are_copies():
+    """state_dict().numpy() views torch storage; the converter must copy so
+    later in-place torch updates (optimizer steps) can't mutate converted
+    params (jnp.asarray may alias numpy buffers zero-copy on CPU)."""
+    ref_models, _, _ = load_reference()
+    cfg = TecoConfig(num_resblock=1, precision="fp32")
+    torch.manual_seed(5)
+    tg = ref_models.generator(3, args=_args_ns(cfg))
+    params = convert_generator(tg.state_dict(), num_resblock=1)
+    before = params["conv_in"]["bias"].copy()
+    with torch.no_grad():
+        for p in tg.parameters():
+            p.add_(1.0)
+    np.testing.assert_array_equal(params["conv_in"]["bias"], before)
+
+
+def _torchvision_style_vgg19_features():
+    """A features-Sequential with torchvision's vgg19 indexing (conv at
+    0,2,5,...,34 with ReLU/MaxPool between) for converter testing."""
+    layers = []
+    in_ch = 3
+    for name, ch in _VGG19_CFG:
+        if ch is None:
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(in_ch, ch, 3, padding=1))
+            layers.append(nn.ReLU(inplace=False))
+            in_ch = ch
+    return nn.Sequential(*layers)
+
+
+def test_vgg19_conversion_forward_parity(rng):
+    torch.manual_seed(1)
+    feats = _torchvision_style_vgg19_features().eval()
+    sd = {f"features.{k}": v for k, v in feats.state_dict().items()}
+    conv_indices = sorted(
+        int(k.split(".")[1]) for k in sd if k.endswith(".weight")
+    )
+    assert conv_indices == _VGG_TORCHVISION_IDX
+
+    params = convert_vgg19(sd)
+    x = rng.random((1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = feats(torch.from_numpy(x)).numpy()
+    out, _ = VGG19().apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+    )
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -28,27 +28,35 @@ import sys
 import numpy as np
 
 
+def _np(t):
+    # Tensor.numpy() returns a VIEW of torch storage; copy so converted
+    # params can't be mutated by later in-place torch updates (e.g. an
+    # optimizer stepping the source model — jnp.asarray on CPU may alias
+    # numpy buffers zero-copy).
+    return t.detach().numpy().copy()
+
+
 def _conv(sd, prefix, bias=True):
-    w = sd[f"{prefix}.weight"].numpy()  # (O, I, kh, kw)
+    w = _np(sd[f"{prefix}.weight"])  # (O, I, kh, kw)
     out = {"kernel": np.transpose(w, (2, 3, 1, 0))}
     if bias and f"{prefix}.bias" in sd:
-        out["bias"] = sd[f"{prefix}.bias"].numpy()
+        out["bias"] = _np(sd[f"{prefix}.bias"])
     return out
 
 
 def _conv_tran(sd, prefix):
-    w = sd[f"{prefix}.weight"].numpy()  # (I, O, kh, kw)
+    w = _np(sd[f"{prefix}.weight"])  # (I, O, kh, kw)
     k = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()  # flip spatial
     out = {"kernel": k}
     if f"{prefix}.bias" in sd:
-        out["bias"] = sd[f"{prefix}.bias"].numpy()
+        out["bias"] = _np(sd[f"{prefix}.bias"])
     return out
 
 
 def _bn(sd, prefix):
     return (
-        {"scale": sd[f"{prefix}.weight"].numpy(), "bias": sd[f"{prefix}.bias"].numpy()},
-        {"mean": sd[f"{prefix}.running_mean"].numpy(), "var": sd[f"{prefix}.running_var"].numpy()},
+        {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])},
+        {"mean": _np(sd[f"{prefix}.running_mean"]), "var": _np(sd[f"{prefix}.running_var"])},
     )
 
 
@@ -107,8 +115,8 @@ def convert_discriminator(sd, resblocks=4):
     resgroup("resids3", "resids3")
     block("block4", "block4")
     block("block5", "block5")
-    w = sd["fc.weight"].numpy()  # (1, 48)
-    params["fc"] = {"kernel": w.T, "bias": sd["fc.bias"].numpy()}
+    w = _np(sd["fc.weight"])  # (1, 48)
+    params["fc"] = {"kernel": w.T, "bias": _np(sd["fc.bias"])}
     return params, stats
 
 
