@@ -163,13 +163,22 @@ def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
     ``grid`` may have any shape (B, *S, 2); the output is (B, *S, C) —
     warp_feedback_s2d exploits this to emit space-to-depth layout directly.
     """
-    B, H, W, C = image.shape
-    S = grid.shape[1:-1]
-    gp1 = group + 1
-
     g = grid.astype(jnp.float32)
+    B, H, W, C = image.shape
     ix = ((g[..., 0] + 1.0) * W - 1.0) / 2.0
     iy = ((g[..., 1] + 1.0) * H - 1.0) / 2.0
+    return grid_sample_packed_int8_coords(image, ix, iy, group)
+
+
+def grid_sample_packed_int8_coords(image: jnp.ndarray, ix: jnp.ndarray,
+                                   iy: jnp.ndarray, group: int = 4) -> jnp.ndarray:
+    """grid_sample_packed_int8 taking UNNORMALIZED planar coordinate
+    arrays (B, *S) — the production entry: planar_pseudo_flow_coords feeds
+    this without ever building the lane-hostile (…, 2) grid."""
+    B, H, W, C = image.shape
+    S = ix.shape[1:]
+    gp1 = group + 1
+
     ix0 = jnp.floor(ix)
     iy0 = jnp.floor(iy)
     wx = (ix - ix0)[..., None]
@@ -330,6 +339,88 @@ def fused_first_layer(params_g, cur_lr, warped_hr, dtype=jnp.bfloat16):
     return jax.nn.relu(y_lr + y_fb + b.astype(dtype))
 
 
+_INTERP_CACHE: dict = {}
+
+
+def _bilinear_matrix(n_in: int, n_out: int, src_of_out) -> "np.ndarray":
+    """(n_in, n_out) matrix M with out = img @ M implementing 1-D bilinear
+    interpolation at half-pixel source centers with edge clamp (torch
+    align_corners=False == jax.image.resize 'linear')."""
+    import numpy as np
+
+    M = np.zeros((n_in, n_out), np.float32)
+    for o in range(n_out):
+        s = src_of_out(o)
+        i0 = int(np.floor(s))
+        f = s - i0
+        a = min(max(i0, 0), n_in - 1)
+        b = min(max(i0 + 1, 0), n_in - 1)
+        M[a, o] += 1.0 - f
+        M[b, o] += f
+    return M
+
+
+def _planar_coord_matrices(H: int, W: int):
+    """Matrices for the planar pseudo-flow coordinates (see
+    planar_pseudo_flow_coords).  Cached per LR shape."""
+    key = (H, W)
+    if key in _INTERP_CACHE:
+        return _INTERP_CACHE[key]
+    import numpy as np
+
+    H4, W4 = 4 * H, 4 * W
+    # vertical x4: out row r <- src (r + 0.5)/4 - 0.5
+    Mh = _bilinear_matrix(H, H4, lambda r: (r + 0.5) / 4.0 - 0.5).T  # (H4, H)
+    # horizontal even/odd phases of the x4 grid: out col c2 covers
+    # original col 2*c2 (even) / 2*c2+1 (odd)
+    Mw_e = _bilinear_matrix(W, W4 // 2, lambda c: (2 * c + 0.5) / 4.0 - 0.5)
+    Mw_o = _bilinear_matrix(W, W4 // 2, lambda c: (2 * c + 1.5) / 4.0 - 0.5)
+    # cache NUMPY arrays (device constants created inside a jit trace must
+    # not leak into later traces)
+    _INTERP_CACHE[key] = (Mh, Mw_e, Mw_o)
+    return _INTERP_CACHE[key]
+
+
+def planar_pseudo_flow_coords(prev_lr: jnp.ndarray):
+    """Unnormalized warp coordinates (ix, iy) as PLANAR (B, 4H, 4W) f32
+    arrays — no (…, 2)-minor grid tensor is ever materialized (a 2-wide
+    lane dim wastes 63/64 of the TPU's (8, 128) tiling; measured ~4 ms per
+    1080p frame for the interleaved grid vs ~0.3 ms for this form).
+
+    Semantics are exactly the reference's raw-view grid (train.py:71-77,96;
+    see pseudo_flow_grid_fast): viewing the planar (2, 4H, 4W) upsample as
+    (4H, 4W, 2) sends
+      ix[r, c] = P0_even_cols.reshape(2H, 4W)[r]   for r < 2H, P1 below
+      iy[r, c] = P0_odd_cols .reshape(2H, 4W)[r]   likewise
+    where P0/P1 are the bilinear 4x upsamples of the R/G channels * 4.
+    The even/odd column phases are sampled directly by per-phase
+    interpolation matrices (out = Mh @ img @ Mw), and the grid_sample
+    normalization ((g + 1) * size - 1) / 2 with g = 4 * value is folded in
+    as an affine epilogue.  Equivalence is asserted in
+    tests/test_fused.py::test_planar_coords_match_grid.
+    """
+    B, H, W, _ = prev_lr.shape
+    H4, W4 = 4 * H, 4 * W
+    Mh, Mw_e, Mw_o = _planar_coord_matrices(H, W)
+
+    Mh, Mw_e, Mw_o = (jnp.asarray(m) for m in (Mh, Mw_e, Mw_o))
+    rg = jnp.transpose(prev_lr[..., 0:2], (0, 3, 1, 2)).astype(jnp.float32)
+    up_v = jnp.einsum("rh,bchw->bcrw", Mh, rg)  # (B, 2, H4, W)
+    even = jnp.einsum("bcrw,wo->bcro", up_v, Mw_e)  # (B, 2, H4, W4/2)
+    odd = jnp.einsum("bcrw,wo->bcro", up_v, Mw_o)
+
+    def halves(p):  # (B, 2, H4, W4/2) -> (B, H4, W4)
+        return jnp.concatenate(
+            [p[:, 0].reshape(B, H4 // 2, W4), p[:, 1].reshape(B, H4 // 2, W4)],
+            axis=1,
+        )
+
+    # g = 4 * value; unnormalized coord = ((g + 1) * size - 1) / 2
+    ix = halves(even) * (2.0 * W4) + (W4 - 1) / 2.0
+    iy = halves(odd) * (2.0 * H4) + (H4 - 1) / 2.0
+    return ix, iy
+
+
 def pseudo_flow_grid_fast(prev_lr: jnp.ndarray) -> jnp.ndarray:
     """The pseudo-flow grid (train.py:71-77,96) upsampling only the two
     channels that survive the [:, 0:2] slice.
@@ -429,14 +520,18 @@ def fused_sr_step(gen: Generator, variables, params_g, prev_sr, prev_lr,
     carried frame feeds a conv, so uint8 quantization is ~50 dB below
     signal); False uses the bf16 patch-table gather.
     """
+    if int8_feedback and prev_sr.shape[2] % warp_group == 0 and not parity_half:
+        ix, iy = planar_pseudo_flow_coords(prev_lr)
+        warped = grid_sample_packed_int8_coords(prev_sr, ix, iy, group=warp_group)
+        net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
+        return gen.apply(variables, net, method=Generator.tail)
+
     grid = pseudo_flow_grid_fast(prev_lr)
     if parity_half:
         grid = grid.astype(jnp.float16).astype(jnp.float32)
-
     if int8_feedback and prev_sr.shape[2] % warp_group == 0:
         warped = grid_sample_packed_int8(prev_sr, grid, group=warp_group)
-        net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
-        return gen.apply(variables, net, method=Generator.tail)
-    warped = grid_sample_patch(prev_sr, grid)
+    else:
+        warped = grid_sample_patch(prev_sr, grid)
     net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
     return gen.apply(variables, net, method=Generator.tail)

@@ -216,3 +216,36 @@ def test_packed_int8_rejects_indivisible_width(rng):
         build_packed_table_int8(img, group=4)
     with pytest.raises(ValueError, match="W % group"):
         grid_sample_packed_int8(img, grid, group=4)
+
+
+def test_planar_coords_match_grid(rng):
+    """planar_pseudo_flow_coords must reproduce the raw-view grid's
+    unnormalized coordinates exactly (same bilinear weights, same
+    plane/column interleave semantics)."""
+    from tecogan_tpu.engine.fused import (
+        pseudo_flow_grid_fast, planar_pseudo_flow_coords,
+    )
+
+    for H, W in [(8, 12), (6, 8)]:
+        prev_lr = jnp.asarray(rng.random((2, H, W, 3)).astype(np.float32))
+        grid = pseudo_flow_grid_fast(prev_lr)
+        H4, W4 = 4 * H, 4 * W
+        ix_ref = ((grid[..., 0] + 1.0) * W4 - 1.0) / 2.0
+        iy_ref = ((grid[..., 1] + 1.0) * H4 - 1.0) / 2.0
+        ix, iy = planar_pseudo_flow_coords(prev_lr)
+        np.testing.assert_allclose(np.asarray(ix), np.asarray(ix_ref), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(iy), np.asarray(iy_ref), atol=2e-4)
+
+
+def test_packed_int8_coords_entry_matches_grid_entry(rng):
+    from tecogan_tpu.engine.fused import (
+        grid_sample_packed_int8, grid_sample_packed_int8_coords,
+    )
+
+    img = jnp.asarray(rng.random((1, 8, 12, 3)).astype(np.float32))
+    grid = jnp.asarray((rng.random((1, 8, 12, 2)) * 2.4 - 1.2).astype(np.float32))
+    a = grid_sample_packed_int8(img, grid, 4)
+    ix = ((grid[..., 0] + 1.0) * 12 - 1.0) / 2.0
+    iy = ((grid[..., 1] + 1.0) * 8 - 1.0) / 2.0
+    b = grid_sample_packed_int8_coords(img, ix, iy, 4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
