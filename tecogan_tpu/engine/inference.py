@@ -68,10 +68,13 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     if gen is None:
         gen, _ = _default_models(cfg)
 
-    # Fast path (engine/fused.py): patch-gather warp + re-tiled first conv
-    # + bf16 carried state, equivalent to float tolerance; exact
+    # Fast path (engine/fused.py): planar pseudo-flow coordinates,
+    # packed-int8 single-gather warp, re-tiled first conv, and the carried
+    # SR state held in space-to-depth layout (conv_out as a stride-4
+    # MXU-dense conv) — equivalent to float/int8 tolerance; exact
     # torch-semantics path kept for bug_parity runs.
     use_fused = cfg.use_pallas and not cfg.bug_parity
+    use_s2d_carry = use_fused and cfg.warp_group == 4
     if use_fused:
         import dataclasses
 
@@ -79,6 +82,36 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
     def infer(params_g, lr_clip):
         B, T, H, W, C = lr_clip.shape
+        frames = jnp.moveaxis(lr_clip, 1, 0)  # (T, B, H, W, 3)
+
+        if use_s2d_carry:
+            from .fused import (
+                retile_conv_out_s2d, fused_first_frame_s2d,
+                fused_sr_step_s2d, s2d_to_frame,
+            )
+
+            K6, b_s2d = retile_conv_out_s2d(
+                params_g["conv_out"]["kernel"].astype(gen_fast.dtype),
+                params_g["conv_out"]["bias"],
+            )
+            sr0 = fused_first_frame_s2d(
+                gen_fast, {"params": params_g}, params_g, lr_clip[:, 0],
+                K6, b_s2d,
+            )
+
+            def body(carry, xs):
+                prev_lr, cur_lr = xs
+                sr = fused_sr_step_s2d(
+                    gen_fast, {"params": params_g}, params_g, carry,
+                    prev_lr, cur_lr, K6, b_s2d,
+                )
+                return sr, sr
+
+            _, rest = jax.lax.scan(body, sr0, (frames[:-1], frames[1:]))
+            all_s2d = jnp.concatenate([sr0[None], rest], axis=0)  # (T,B,h,w,48)
+            sr_clip = s2d_to_frame(jnp.moveaxis(all_s2d, 0, 1))
+            return sr_clip.astype(jnp.float32)
+
         if use_fused:
             from .fused import fused_first_frame
 
@@ -87,8 +120,6 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
             )
         else:
             sr0 = first_frame(gen, params_g, lr_clip[:, 0])
-
-        frames = jnp.moveaxis(lr_clip, 1, 0)  # (T, B, H, W, 3)
 
         def body(carry, xs):
             prev_sr = carry

@@ -62,6 +62,14 @@ class Generator(nn.Module):
     def tail(self, net):
         """Everything after the first activation: net (B, H, W, 64) ->
         (B, 4H, 4W, out) in [0, 1]."""
+        net = self.conv_out(self.tail_features(net))
+        return nn.sigmoid(net.astype(self.out_dtype))
+
+    def tail_features(self, net):
+        """tail up to (and including) the conv_hr activation:
+        (B, H, W, 64) -> (B, 4H, 4W, 64).  Split out so the fused
+        inference path (engine/fused.py) can swap conv_out for its
+        space-to-depth stride-4 formulation."""
         for block in self.resblocks:
             net = block(net) + net
         net = nn.relu(self.up1(net))
@@ -69,9 +77,7 @@ class Generator(nn.Module):
         net = self.trunk_rb1(net)
         net = self.trunk_rb2(net)
         net = nn.relu(self.up2(net))
-        net = nn.relu(self.conv_hr(net))
-        net = self.conv_out(net)
-        return nn.sigmoid(net.astype(self.out_dtype))
+        return nn.relu(self.conv_hr(net))
 
     @staticmethod
     def input_channels(sr_channels: int = 3, block: int = 4) -> int:

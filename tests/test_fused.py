@@ -249,3 +249,48 @@ def test_packed_int8_coords_entry_matches_grid_entry(rng):
     iy = ((grid[..., 1] + 1.0) * 8 - 1.0) / 2.0
     b = grid_sample_packed_int8_coords(img, ix, iy, 4)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conv_out_s2d_matches_direct(rng):
+    """The stride-4 s2d conv_out must be exactly the s2d of the direct
+    3x3 conv + sigmoid."""
+    from tecogan_tpu.engine.fused import retile_conv_out_s2d, conv_out_s2d, s2d_to_frame
+
+    feat = jnp.asarray(rng.random((1, 16, 24, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (3,)).astype(np.float32))
+    direct = jax.nn.sigmoid(jax.lax.conv_general_dilated(
+        feat, k, (1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b)
+    K6, b48 = retile_conv_out_s2d(k, b)
+    s2d = conv_out_s2d(feat, K6, b48, out_dtype=jnp.float32)
+    got = s2d_to_frame(s2d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(direct), atol=1e-6)
+
+
+def test_s2d_table_matches_nhwc_table(rng):
+    from tecogan_tpu.engine.fused import build_packed_table_int8, build_packed_table_s2d
+    from tecogan_tpu.ops.space import space_to_depth
+
+    img = jnp.asarray(rng.random((2, 8, 16, 3)).astype(np.float32))
+    ref = build_packed_table_int8(img, 4)
+    s2d = space_to_depth(img)  # (2, 2, 4, 48); channel conv is c*16+a*4+b?
+    got = build_packed_table_s2d(s2d, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_s2d_carry_clip_inference_matches_nhwc_fast(rng):
+    """build_clip_inference's s2d-carry path (warp_group=4) must be
+    bit-identical to the NHWC fused path (warp_group!=4 falls back)."""
+    from tecogan_tpu.engine.inference import build_clip_inference
+
+    cfg4 = TecoConfig(precision="bf16", num_resblock=2, bug_parity=False,
+                      warp_group=4)
+    cfg2 = cfg4.replace(warp_group=2)
+    state = init_state(cfg4.replace(crop_size=8), jax.random.PRNGKey(0))
+    clip = jnp.asarray(rng.random((1, 4, 16, 16, 3)).astype(np.float32))
+    a = build_clip_inference(cfg4)(state.params_g, clip)
+    b = build_clip_inference(cfg2)(state.params_g, clip)
+    assert a.shape == (1, 4, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1.5/255.0)
