@@ -56,20 +56,52 @@ def run_inference(cfg: TecoConfig) -> None:
         )
 
     os.makedirs(cfg.output_dir, exist_ok=True)
-    for idx, clip in enumerate(clips):
-        t0 = time.time()
-        sr = infer(params_g, jnp.asarray(clip)[None])
-        sr.block_until_ready()
+
+    def write_clip(idx, clip, sr_np, dt, n_batched=1):
         out = os.path.join(
             cfg.output_dir, f"{cfg.output_name}{idx}{cfg.videotype}"
         )
-        save_as_media(np.asarray(sr[0]), out)
-        dt = time.time() - t0
+        save_as_media(sr_np, out)
         print(
             f"clip {idx}: {clip.shape[0]} frames "
             f"{clip.shape[1]}x{clip.shape[2]} -> 4x in {dt:.2f}s "
-            f"({clip.shape[0] / dt:.1f} fps) -> {out}"
+            f"({n_batched * clip.shape[0] / dt:.1f} fps"
+            f"{' aggregate' if n_batched > 1 else ''}) -> {out}"
         )
+
+    # Data-parallel inference: scenes sharded over the mesh when several
+    # same-shape clips are queued and >1 device is visible.
+    n_data = cfg.data_axis if cfg.data_axis > 0 else len(jax.devices())
+    done = 0
+    if n_data > 1 and len(clips) >= n_data and len(
+        {c.shape for c in clips}
+    ) == 1:
+        from ..parallel import make_mesh, build_dp_inference, shard_batch
+        from ..parallel.mesh import replicated
+
+        mesh = make_mesh(n_data)
+        dp_infer = build_dp_inference(cfg, mesh)
+        params_rep = jax.device_put(params_g, replicated(mesh))
+        print(f"data-parallel inference over {n_data} devices")
+        while done + n_data <= len(clips):
+            chunk = clips[done : done + n_data]
+            t0 = time.time()
+            batch = shard_batch(mesh, np.stack(chunk))
+            sr = dp_infer(params_rep, batch)
+            sr.block_until_ready()
+            dt = time.time() - t0
+            for j, clip in enumerate(chunk):
+                write_clip(done + j, clip, np.asarray(sr[j]), dt,
+                           n_batched=n_data)
+            done += n_data
+
+    for idx in range(done, len(clips)):
+        clip = clips[idx]
+        t0 = time.time()
+        sr = infer(params_g, jnp.asarray(clip)[None])
+        sr.block_until_ready()
+        dt = time.time() - t0
+        write_clip(idx, clip, np.asarray(sr[0]), dt)
 
 
 def run_train(cfg: TecoConfig) -> None:
@@ -104,21 +136,18 @@ def run_train(cfg: TecoConfig) -> None:
     # --vgg_ckpt was parsed but never loaded, main.py:69)
     vgg_apply = None
     if cfg.vgg_scaling > 0.0:
-        if not cfg.vgg_ckpt:
-            raise ValueError("--vgg_scaling > 0 requires --vgg_ckpt")
-        from ..models.vgg import vgg19_features
-        from ..utils.checkpoint import load_flat
+        from ..models.vgg import vgg19_features, load_vgg_params
 
-        flat, _ = load_flat(cfg.vgg_ckpt)
-        vgg_params: dict = {}
-        for k, v in flat.items():
-            parts = k.split("//")
-            if parts[0] == "model_state_dict":
-                parts = parts[1:]
-            d = vgg_params
-            for part in parts[:-1]:
-                d = d.setdefault(part, {})
-            d[parts[-1]] = jnp.asarray(v)
+        if not cfg.vgg_ckpt:
+            raise ValueError(
+                "--vgg_scaling > 0 requires --vgg_ckpt (a converted VGG-19 "
+                "checkpoint, or the literal 'surrogate' for fixed-seed "
+                "random-feature weights)"
+            )
+        vgg_params = load_vgg_params(cfg.vgg_ckpt)
+        if cfg.vgg_ckpt == "surrogate":
+            print("VGG loss: fixed-seed SURROGATE weights (no pretrained "
+                  "VGG-19 available offline)")
 
         def vgg_apply(images01_nhwc, deep_list):
             return vgg19_features(vgg_params, images01_nhwc, deep_list)

@@ -88,3 +88,56 @@ def test_dryrun_multichip(n):
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(n)
+
+
+def test_dp_inference_matches_single_device():
+    """Scenes sharded over the data axis must produce the same SR frames
+    as the single-device clip inference (run_inference's DP path)."""
+    from tecogan_tpu.engine import build_clip_inference
+    from tecogan_tpu.parallel import build_dp_inference
+    from tecogan_tpu.parallel.mesh import replicated
+
+    cfg = cfg8(precision="bf16", bug_parity=False)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    clips = rng.random((8, 4, 16, 16, 3)).astype(np.float32)
+
+    single = build_clip_inference(cfg)
+    ref = np.concatenate(
+        [np.asarray(single(state.params_g, jnp.asarray(clips[i : i + 1])))
+         for i in range(8)]
+    )
+
+    mesh = make_mesh(8)
+    dp_infer = build_dp_inference(cfg, mesh)
+    params_rep = jax.device_put(state.params_g, replicated(mesh))
+    batch = shard_batch(mesh, clips)
+    got = np.asarray(dp_infer(params_rep, batch))
+    assert got.shape == (8, 4, 64, 64, 3)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_cli_dp_inference_e2e(tmp_path):
+    """run_inference takes the DP path when several same-shape scenes are
+    queued on a multi-device mesh, and writes every clip."""
+    import os
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.data import write_synthetic_scene_folders
+    from tecogan_tpu.cli.main import run_inference
+    from tecogan_tpu.engine import init_state
+    from tecogan_tpu.utils.checkpoint import save_train_state
+
+    scenes = str(tmp_path / "scenes")
+    write_synthetic_scene_folders(scenes, num_scenes=2, frames_per_scene=120,
+                                  size=32)
+    cfg = TecoConfig(
+        crop_size=8, num_resblock=1, discrim_resblocks=1, discrim_channels=16,
+        precision="fp32", input_dir_LR=scenes,
+        output_dir=str(tmp_path / "out"), data_axis=2,
+        g_checkpoint=str(tmp_path / "ckpt" / "generator.ckpt"),
+    )
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    save_train_state(str(tmp_path / "ckpt"), state, epoch=0)
+    run_inference(cfg)
+    assert os.path.exists(str(tmp_path / "out" / "output0.mp4"))
+    assert os.path.exists(str(tmp_path / "out" / "output1.mp4"))
