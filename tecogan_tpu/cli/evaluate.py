@@ -50,16 +50,23 @@ def _load_frames(path: str) -> np.ndarray:
     return np.stack(frames)
 
 
-def score_pair(sr: np.ndarray, hr: np.ndarray, vgg_params=None) -> dict:
+def score_pair(sr: np.ndarray, hr: np.ndarray, vgg_params=None,
+               lpips_lin=None) -> dict:
     import jax.numpy as jnp
 
-    from ..ops.metrics import psnr, ssim, vgg_perceptual_distance
+    from ..ops.metrics import (
+        psnr, psnr_per_frame, ssim, vgg_perceptual_distance, lpips_distance,
+    )
 
     T = min(len(sr), len(hr))
     sr, hr = jnp.asarray(sr[:T]), jnp.asarray(hr[:T])
+    per_frame = psnr_per_frame(hr, sr)
     out = {
         "frames": int(T),
-        "psnr_db": float(psnr(hr, sr)),
+        # headline: mean of per-frame PSNR (the standard VSR convention);
+        # pooled-MSE PSNR kept for comparability with older runs
+        "psnr_db": float(jnp.mean(per_frame)),
+        "psnr_global_db": float(psnr(hr, sr)),
         "ssim": float(ssim(sr, hr)),
     }
     if vgg_params is not None:
@@ -69,6 +76,12 @@ def score_pair(sr: np.ndarray, hr: np.ndarray, vgg_params=None) -> dict:
         fx = vgg19_features(vgg_params, sr, deep_list=layers)
         fy = vgg19_features(vgg_params, hr, deep_list=layers)
         out["vgg_dist"] = float(vgg_perceptual_distance(fx, fy, layers))
+        # the real LPIPS architecture; the published metric additionally
+        # needs the learned per-channel linear weights (--lpips_lin npz of
+        # layer->weights).  Without them (none available offline) the
+        # uniform-weight result is honestly named lpips_surrogate.
+        key = "lpips" if lpips_lin else "lpips_surrogate"
+        out[key] = float(lpips_distance(fx, fy, layers, lin_weights=lpips_lin))
     return out
 
 
@@ -83,23 +96,27 @@ def main(argv=None):
     p.add_argument("--num_resblock", type=int, default=16)
     p.add_argument("--limit_frames", type=int, default=-1)
     p.add_argument("--limit_clips", type=int, default=-1)
-    p.add_argument("--vgg_ckpt", default=None)
+    p.add_argument("--vgg_ckpt", default=None,
+                   help="converted VGG-19 .ckpt, or 'surrogate' for "
+                        "fixed-seed random-feature weights")
+    p.add_argument("--lpips_lin", default=None,
+                   help="npz of layer-name -> per-channel LPIPS linear "
+                        "weights; without it lpips is reported as "
+                        "lpips_surrogate (uniform weights)")
+    p.add_argument("--json_out", default=None,
+                   help="also write all records to this JSON file")
     p.add_argument("--bug_parity", default=True, type=lambda v: v in ("1", "true", "True"))
     args = p.parse_args(argv)
 
     vgg_params = None
     if args.vgg_ckpt:
-        from ..utils.checkpoint import load_flat
+        from ..models.vgg import load_vgg_params
 
-        flat, _ = load_flat(args.vgg_ckpt)
-        # rebuild nested dict from flat paths
-        vgg_params = {}
-        for k, v in flat.items():
-            parts = k.split("//")[1:]  # drop model_state_dict
-            d = vgg_params
-            for part in parts[:-1]:
-                d = d.setdefault(part, {})
-            d[parts[-1]] = v
+        vgg_params = load_vgg_params(args.vgg_ckpt)
+    lpips_lin = None
+    if args.lpips_lin:
+        z = np.load(args.lpips_lin)
+        lpips_lin = {k: z[k] for k in z.files}
 
     results = []
 
@@ -114,7 +131,7 @@ def main(argv=None):
             hr = np.stack(
                 [cv2.resize(f, (sr.shape[2], sr.shape[1])) for f in hr]
             )
-        rec = {"clip": "pair", **score_pair(sr, hr, vgg_params)}
+        rec = {"clip": "pair", **score_pair(sr, hr, vgg_params, lpips_lin)}
         print(json.dumps(rec))
         results.append(rec)
     elif args.g_checkpoint and args.input_dir_HR:
@@ -148,7 +165,7 @@ def main(argv=None):
                             interpolation=cv2.INTER_AREA) for f in hr]
             )
             sr = np.asarray(infer(params_g, jnp.asarray(lr)[None])[0])
-            rec = {"clip": name, **score_pair(sr, hr, vgg_params)}
+            rec = {"clip": name, **score_pair(sr, hr, vgg_params, lpips_lin)}
             print(json.dumps(rec))
             results.append(rec)
     else:
@@ -157,15 +174,17 @@ def main(argv=None):
             "(--g_checkpoint and --input_dir_HR)"
         )
 
-    agg = {
-        "clip": "__aggregate__",
-        "clips": len(results),
-        "psnr_db": float(np.mean([r["psnr_db"] for r in results])),
-        "ssim": float(np.mean([r["ssim"] for r in results])),
-    }
-    if vgg_params is not None:
-        agg["vgg_dist"] = float(np.mean([r["vgg_dist"] for r in results]))
+    agg = {"clip": "__aggregate__", "clips": len(results)}
+    for key in ("psnr_db", "psnr_global_db", "ssim", "vgg_dist",
+                "lpips", "lpips_surrogate"):
+        if all(key in r for r in results):
+            agg[key] = float(np.mean([r[key] for r in results]))
     print(json.dumps(agg))
+    if args.json_out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.json_out)),
+                    exist_ok=True)
+        with open(args.json_out, "w") as f:
+            json.dump({"records": results, "aggregate": agg}, f, indent=1)
 
 
 if __name__ == "__main__":

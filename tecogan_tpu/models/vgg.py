@@ -51,6 +51,46 @@ class VGG19(nn.Module):
         return net, end_points
 
 
+SURROGATE_SEED = 20260816
+
+
+def fixed_seed_vgg_params(seed: int = SURROGATE_SEED):
+    """Deterministic surrogate VGG-19 parameters.
+
+    This image has zero egress, so torchvision's pretrained VGG-19 weights
+    cannot be fetched; random-feature perceptual losses are a documented,
+    reasonable stand-in (random convnet features still measure perceptual
+    structure).  Every run regenerates the SAME weights from a fixed seed,
+    so metrics are comparable across runs/machines.  When real weights are
+    available, convert them with tools/convert_torch_ckpt.py --arch vgg19
+    and pass --vgg_ckpt <file> instead.
+    """
+    import jax
+
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    return VGG19().init(jax.random.PRNGKey(seed), dummy)["params"]
+
+
+def load_vgg_params(vgg_ckpt):
+    """Resolve --vgg_ckpt: a converted .ckpt path, or the literal string
+    'surrogate' (fixed-seed weights, see fixed_seed_vgg_params)."""
+    if vgg_ckpt == "surrogate":
+        return fixed_seed_vgg_params()
+    from ..utils.checkpoint import load_flat
+
+    flat, _ = load_flat(vgg_ckpt)
+    params: dict = {}
+    for k, v in flat.items():
+        parts = k.split("//")
+        if parts[0] == "model_state_dict":
+            parts = parts[1:]
+        d = params
+        for part in parts[:-1]:
+            d = d.setdefault(part, {})
+        d[parts[-1]] = jnp.asarray(v)
+    return params
+
+
 def vgg19_features(
     vgg_params, images01_nhwc: jnp.ndarray, deep_list=None, norm_flag: bool = True,
     dtype: Any = jnp.float32,
