@@ -58,8 +58,12 @@ def main(argv=None) -> None:
         def read():
             return next(reader, None)
     else:
-        src = int(args.source) if args.source.isdigit() else args.source
-        cap = cv2.VideoCapture(src)
+        # int index, file path, or a synth:class=chess:... procedural spec
+        # with silent fallback (data/capture.py — reference
+        # data/video.py:172-206 semantics)
+        from ..data.capture import create_capture
+
+        cap = create_capture(args.source)
 
         def read():
             ok, frame = cap.read()

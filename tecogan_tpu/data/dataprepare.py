@@ -75,13 +75,24 @@ def tee_log(log_dir: str):
 
 
 def extract_scenes(video_path: str, starts, out_dir: str, scene_index: int,
-                   frames_per_scene: int = 120) -> int:
+                   frames_per_scene: int = 120,
+                   synth_fallback: bool = True) -> int:
     """Cut half-res 120-frame scenes at each start frame
-    (dataprepare.py:96-105 + data/video.py:164-169 semantics)."""
+    (dataprepare.py:96-105 + data/video.py:164-169 semantics).
+
+    When the source can't be opened, create_capture falls back to the
+    procedural Chess capture like the reference (dataprepare.py:101-105)."""
     import cv2
 
+    from .capture import create_capture, DEFAULT_FALLBACK
+
     for start in starts:
-        cap = cv2.VideoCapture(video_path)
+        cap = create_capture(
+            video_path, DEFAULT_FALLBACK if synth_fallback else None
+        )
+        if cap is None:
+            print(f"cannot open {video_path}; scene skipped")
+            continue
         cap.set(cv2.CAP_PROP_POS_FRAMES, start)
         d = os.path.join(out_dir, f"scene_{scene_index:04d}")
         os.makedirs(d, exist_ok=True)

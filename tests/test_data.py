@@ -153,3 +153,67 @@ def test_media_roundtrip(tmp_path, rng):
     cap = cv2.VideoCapture(mp4)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
     cap.release()
+
+
+class TestCaptures:
+    """Procedural captures + create_capture factory (reference
+    data/video.py:40-206, data/common.py:73-90)."""
+
+    def test_chess_renders_and_seeks(self):
+        from tecogan_tpu.data import Chess
+
+        cap = Chess(size="64x48")
+        ok, f1 = cap.read()
+        assert ok and f1.shape == (48, 64, 3) and f1.dtype == np.uint8
+        ok, f2 = cap.read()
+        assert not np.array_equal(f1, f2)  # the camera orbits
+        # seek determinism: same frame index -> same pixels
+        cap.set(1, 0)
+        ok, g1 = cap.read()
+        cap2 = Chess(size="64x48")
+        ok, h1 = cap2.read()
+        np.testing.assert_array_equal(g1, h1)
+
+    def test_book_and_cube_move(self):
+        from tecogan_tpu.data import Book, Cube
+
+        for cls in (Book, Cube):
+            cap = cls(size="64x64")
+            ok, f1 = cap.read()
+            ok, f2 = cap.read()
+            assert ok and f1.shape == (64, 64, 3)
+            assert not np.array_equal(f1, f2)
+
+    def test_create_capture_synth_spec_and_fallback(self):
+        from tecogan_tpu.data import create_capture, Chess, SynthCapture
+
+        cap = create_capture("synth:class=chess:size=32x32:noise=0.1")
+        assert isinstance(cap, Chess)
+        ok, f = cap.read()
+        assert ok and f.shape == (32, 32, 3)
+        # bogus file -> chess fallback like the reference
+        cap = create_capture("/nonexistent/video.mp4")
+        assert isinstance(cap, SynthCapture)
+        assert cap.isOpened()
+
+    def test_lookat_mtx2rvec_roundtrip(self):
+        import cv2
+        from tecogan_tpu.data import lookat, mtx2rvec
+
+        R, tvec = lookat((10.0, 3.0, 5.0), (0.0, 0.0, 0.0))
+        # R is a rotation: orthonormal, det +1
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-12)
+        # axis-angle roundtrip through cv2.Rodrigues
+        rvec = mtx2rvec(R)
+        R2 = cv2.Rodrigues(rvec)[0]
+        np.testing.assert_allclose(R2, R, atol=1e-8)
+
+    def test_dataprepare_synth_fallback_extracts_scene(self, tmp_path):
+        from tecogan_tpu.data.dataprepare import extract_scenes
+
+        n = extract_scenes("/nonexistent/video.mp4", [0], str(tmp_path), 1000,
+                           frames_per_scene=6)
+        assert n == 1001
+        files = sorted(os.listdir(tmp_path / "scene_1000"))
+        assert files == [f"col_high_{i:04d}.png" for i in range(6)]
