@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from tecogan_tpu.config import TecoConfig
@@ -23,6 +24,7 @@ def make_batch(cfg, rng, B=2):
     return jnp.asarray(lr), jnp.asarray(hr)
 
 
+@pytest.mark.slow
 def test_parity_mode_never_gates_d(rng):
     cfg = tiny_cfg(bug_parity=True)
     state = init_state(cfg, jax.random.PRNGKey(0))
@@ -33,6 +35,7 @@ def test_parity_mode_never_gates_d(rng):
     assert float(metrics["w_o_D_counter"]) == 0.0
 
 
+@pytest.mark.slow
 def test_fixed_mode_gates_d_when_winning(rng):
     """Gate direction: apply_d = (tb < Dbalance).  tb < -100 is impossible
     (t_balance starts near 0), so the D update must be skipped."""
@@ -50,6 +53,7 @@ def test_fixed_mode_gates_d_when_winning(rng):
     assert max(jax.tree.leaves(diffs)) == 0.0
 
 
+@pytest.mark.slow
 def test_gate_direction_tracks_t_balance(rng):
     """Drive the gate across the measured t_balance of a fixed (state,
     batch): a threshold just BELOW the winning measure must skip the D
@@ -79,6 +83,7 @@ def test_gate_direction_tracks_t_balance(rng):
     assert not moved_lo and counter_lo == 0.0
 
 
+@pytest.mark.slow
 def test_fixed_mode_allows_d_normally(rng):
     cfg = tiny_cfg(bug_parity=False, Dbalance=0.4)
     state = init_state(cfg, jax.random.PRNGKey(0))

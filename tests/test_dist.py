@@ -41,6 +41,7 @@ def test_mesh_shapes():
     assert mesh2.shape == {"data": 4, "model": 2}
 
 
+@pytest.mark.slow
 def test_dp_step_runs_sharded(batch8):
     cfg = cfg8()
     mesh = make_mesh(8)
@@ -54,6 +55,7 @@ def test_dp_step_runs_sharded(batch8):
     assert gen_out.shape[0] == 8
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(batch8):
     """Same math on 8 shards vs 1 device (global-mean losses => identical
     gradients up to float tolerance)."""
@@ -83,7 +85,9 @@ def test_dp_matches_single_device(batch8):
     assert max(jax.tree.leaves(diffs)) < 1e-5
 
 
-@pytest.mark.parametrize("n", [2, 8])
+@pytest.mark.parametrize(
+    "n", [2, pytest.param(8, marks=pytest.mark.slow)]
+)
 def test_dryrun_multichip(n):
     import __graft_entry__
 

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from tecogan_tpu.config import TecoConfig
@@ -34,6 +35,7 @@ def test_flow_to_grid_unit_shift(rng):
     )
 
 
+@pytest.mark.slow
 def test_fnet_train_step_runs(rng):
     cfg = TecoConfig(crop_size=16, RNN_N=3, num_resblock=1, precision="fp32")
     init, step = build_fnet_train_step(cfg)

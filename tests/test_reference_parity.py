@@ -17,6 +17,7 @@ import types
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -163,6 +164,7 @@ def test_inference_loop_parity_vs_reference(rng):
     assert agreement_db > 60.0
 
 
+@pytest.mark.slow
 def test_tecogan_loss_parity_vs_reference(rng):
     """One full TecoGAN() evaluation of the actual reference loss engine
     (code/train.py:49-348) vs our tecogan_losses, same weights and batch,

@@ -75,6 +75,7 @@ def test_metrics_names_match_reference_update_list():
     assert expected.issubset(set(metrics.keys()))
 
 
+@pytest.mark.slow
 def test_parity_gen_grads_are_content_only(rng):
     """bug_parity: adversarial & layer losses are detached and the
     recurrence is cut, so dGenLoss/dparams_g == dContent/dparams_g
@@ -104,6 +105,7 @@ def test_parity_gen_grads_are_content_only(rng):
     assert max(jax.tree.leaves(diffs)) < 1e-6
 
 
+@pytest.mark.slow
 def test_fixed_mode_gen_grads_include_adversarial(rng):
     """bug_parity=False: the adversarial term must contribute G gradient."""
     cfg = tiny_cfg(bug_parity=False)
@@ -209,6 +211,7 @@ def test_vgg_scaling_enabled_in_train_step(rng):
     assert np.isfinite(float(metrics["gen_loss"]))
 
 
+@pytest.mark.slow
 def test_unmerged_dt_path_runs(rng):
     """--Dt_mergeDs False: D consumes the 9-channel cropped warped triplet
     (the reference's intent at train.py:183-199, which crashes in the
