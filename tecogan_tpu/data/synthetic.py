@@ -105,6 +105,25 @@ def synthetic_scene_batch(
     return np.stack(lrs), np.stack(hrs)
 
 
+def _capture_scene(cls_name: str, num_frames: int, size: int,
+                   seed: int) -> np.ndarray:
+    """Render a clip from one of the procedural capture classes
+    (data/capture.py: Chess/Book/Cube) as (T, H, W, 3) float32 RGB.
+    ``seed`` offsets the camera/scene phase so repeated uses of the same
+    class produce different clips."""
+    from .capture import create_capture
+
+    cap = create_capture(f"synth:class={cls_name}:noise=0.02:size={size}x{size}")
+    for _ in range(7 * seed % 93):  # deterministic phase offset
+        cap.read()
+    frames = np.empty((num_frames, size, size, 3), np.float32)
+    for t in range(num_frames):
+        ok, bgr = cap.read()
+        assert ok
+        frames[t] = bgr[..., ::-1].astype(np.float32) / 255.0
+    return frames
+
+
 def write_synthetic_scene_folders(
     root: str,
     num_scenes: int = 2,
@@ -112,19 +131,33 @@ def write_synthetic_scene_folders(
     size: int = 128,
     start_index: int = 1000,
     prefix: str = "scene",
+    variety: bool = False,
 ) -> None:
     """Materialize scene folders in the reference's on-disk layout
     (``scene_%04d/col_high_%04d.png``: dataprepare.py:148,
     code/dataloader.py:61) from the synthetic generators — lets the full
-    dataset pipeline run hermetically in tests."""
+    dataset pipeline run hermetically in tests.
+
+    variety=True rotates through the full fixture zoo (moving-rect,
+    drifting checkerboard, and the 3-D Chess/Book/Cube captures) so
+    quality runs see varied texture/motion instead of one scene family."""
     import os
 
     import imageio
 
+    makers = [lambda s: moving_rect_scene(frames_per_scene, size, size, seed=s)]
+    if variety:
+        makers += [
+            lambda s: chess_scene(frames_per_scene, size, size),
+            lambda s: _capture_scene("chess", frames_per_scene, size, s),
+            lambda s: _capture_scene("book", frames_per_scene, size, s),
+            lambda s: _capture_scene("cube", frames_per_scene, size, s),
+        ]
+
     for s in range(num_scenes):
         d = os.path.join(root, f"{prefix}_{start_index + s:04d}")
         os.makedirs(d, exist_ok=True)
-        clip = moving_rect_scene(frames_per_scene, size, size, seed=s)
+        clip = makers[s % len(makers)](s)
         for t in range(frames_per_scene):
             imageio.imwrite(
                 os.path.join(d, f"col_high_{t:04d}.png"),

@@ -29,6 +29,24 @@ from ..ops.image import deprocess, nhwc_to_nchw
 from ..ops.resize import upscale_four
 
 
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, R, L) table + (B, M) row indices -> (B, M, L) rows.
+
+    At B == 1 ``take_along_axis`` already lowers to XLA's fast TPU row
+    gather, but with a real batch dim it becomes a generic (slow) gather —
+    measured 16.8 aggregate fps at B=2 vs 29.6 at B=1 on the 1080p warp.
+    Flattening the batch into the row axis and using a rank-1 index vector
+    restores the fast path for any B (B=2 serving: 2x1080p streams at the
+    single-stream per-frame cost, see DESIGN.md)."""
+    B, R, L = table.shape
+    if B == 1:
+        return jnp.take_along_axis(table, idx[..., None], axis=1)
+    base = (jnp.arange(B, dtype=idx.dtype) * R)[:, None]
+    flat = (idx + base).reshape(-1)
+    rows = jnp.take(table.reshape(B * R, L), flat, axis=0)
+    return rows.reshape(B, idx.shape[1], L)
+
+
 def build_patch_table(image: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H*W, 4*C) rows [p, p+right, p+down, p+downright]
     (zero padding beyond the image edge, matching grid_sample's zero
@@ -78,9 +96,7 @@ def grid_sample_patch(image: jnp.ndarray, grid: jnp.ndarray,
 
     table = build_patch_table(image, dtype)  # (B, H*W, 4C)
     idx = (yb * W + xb).reshape(B, -1)  # (B, Hg*Wg)
-    rows = jnp.take_along_axis(
-        table, idx[..., None], axis=1
-    )  # (B, Hg*Wg, 4C) — the ONE gather
+    rows = _gather_rows(table, idx)  # (B, Hg*Wg, 4C) — the ONE gather
     rows = rows.reshape(B, Hg, Wg, 4, C).astype(jnp.float32)
 
     def tap(r, s, v):
@@ -192,6 +208,14 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
     S = ix.shape[1:]
     gp1 = group + 1
 
+    # Everything below runs on FLAT (B*M,) coordinate vectors: with a real
+    # batch dim XLA stops fusing the masked combine into the gather
+    # consumer (measured ~71 ms/frame warp at B=2 vs ~6 at B=1, the rows
+    # tensor and every masked pass materializing in HBM); flattening the
+    # batch into the row axis keeps the graph shape-identical to B=1.
+    ix = ix.reshape(-1)
+    iy = iy.reshape(-1)
+
     ix0 = jnp.floor(ix)
     iy0 = jnp.floor(iy)
     wx = (ix - ix0)[..., None]
@@ -211,10 +235,22 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
     s_in = xb - q * group  # base col within the packed group
 
     cols = W // group
-    idx = (yb * cols + q).reshape(B, -1)
-    rows = jnp.take_along_axis(table, idx[..., None], axis=1)
+    M = ix.shape[0] // B
+    idx = yb * cols + q  # (B*M,) row within each stream's table
+    # Gather PER STREAM: the single-stream table (H*W/group rows x 32B,
+    # ~17 MB at 1080p) sits in the gather's fast regime; one concatenated
+    # (B*R, 32) operand falls off a cliff (measured ~65 ms vs ~6 ms per
+    # frame at B=2).  Unrolling keeps every gather operand small; the
+    # elementwise combine below stays batched-flat.
+    if B == 1:
+        rows = jnp.take(table[0], idx, axis=0)
+    else:
+        rows = jnp.concatenate(
+            [jnp.take(table[b], idx[b * M : (b + 1) * M], axis=0)
+             for b in range(B)]
+        )
     rows = rows[..., : 2 * gp1 * C]  # drop lane padding
-    rows = rows.reshape(B, *S, 2, gp1, C)  # uint8
+    rows = rows.reshape(B * M, 2, gp1, C)  # uint8
 
     # Combine arithmetic runs in bf16: uint8 tap values (0..255) are exact
     # in bf16 (8-bit mantissa), and the bilinear weights' ~2^-9 rounding is
@@ -248,12 +284,13 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
     wxc = wx.astype(cdt)
     wyc = wy.astype(cdt)
     one = cdt(1.0)
-    return (
+    out = (
         tap(0, 0) * (one - wyc) * (one - wxc)
         + tap(0, 1) * (one - wyc) * wxc
         + tap(1, 0) * wyc * (one - wxc)
         + tap(1, 1) * wyc * wxc
     )
+    return out.reshape(B, *S, C)
 
 
 def grid_sample_packed_int8_pallas(image: jnp.ndarray, grid: jnp.ndarray,
@@ -282,7 +319,7 @@ def grid_sample_packed_int8_pallas(image: jnp.ndarray, grid: jnp.ndarray,
     idx = (yb * cols + q).reshape(B, -1)
 
     table = build_packed_table_int8(image, group)
-    rows = jnp.take_along_axis(table, idx[..., None], axis=1)  # (B, M, 32)
+    rows = _gather_rows(table, idx)  # (B, M, 32)
     rows = rows.reshape(B * Hg * Wg, rows.shape[-1])[:, :32]
 
     interpret = jax.default_backend() != "tpu"
@@ -413,6 +450,14 @@ def planar_pseudo_flow_coords(prev_lr: jnp.ndarray):
     B, H, W, _ = prev_lr.shape
     H4, W4 = 4 * H, 4 * W
     Mh, Mw_e, Mw_o = _planar_coord_matrices(H, W)
+
+    # Per-stream at B>1 for the same reason as the warp gather: the
+    # batched einsum falls out of the fast regime (~18 ms vs ~0.5 ms per
+    # frame at B=2); B independent copies of the B=1 graph stay fast.
+    if B > 1:
+        per = [planar_pseudo_flow_coords(prev_lr[b : b + 1]) for b in range(B)]
+        return (jnp.concatenate([p[0] for p in per]),
+                jnp.concatenate([p[1] for p in per]))
 
     Mh, Mw_e, Mw_o = (jnp.asarray(m) for m in (Mh, Mw_e, Mw_o))
     rg = jnp.transpose(prev_lr[..., 0:2], (0, 3, 1, 2)).astype(jnp.float32)
