@@ -238,6 +238,7 @@ def run_train(cfg: TecoConfig) -> None:
         )
         n_batches = 0
         lr_np = hr_np = gen_out = None
+        g_vals, d_vals = [], []
         for batch_idx, (lr_np, hr_np) in enumerate(batches):
             # profiling window (SURVEY.md §5 tracing row): steps 10-15 of
             # the first profiled epoch land in --profile_dir
@@ -249,11 +250,12 @@ def run_train(cfg: TecoConfig) -> None:
             if cfg.profile_dir and epoch == current_epoch and batch_idx == 15:
                 jax.block_until_ready(state)
                 jax.profiler.stop_trace()
-            # epoch running means (main.py:280-282)
-            g = float(metrics["gen_loss"])
-            d = float(metrics["d_loss"])
-            g_loss += (g - g_loss) / (batch_idx + 1)
-            d_loss += (d - d_loss) / (batch_idx + 1)
+            # Keep loss scalars ON DEVICE here: a float() per step forces a
+            # host sync that serializes the async dispatch queue (fatal
+            # over a remote-TPU link — one round-trip per step); the epoch
+            # running means (main.py:280-282) are materialized once below.
+            g_vals.append(metrics["gen_loss"])
+            d_vals.append(metrics["d_loss"])
             n_batches += 1
             if cfg.log_every and batch_idx % cfg.log_every == 0:
                 writer.write(int(state.step), metrics, epoch=epoch)
@@ -261,6 +263,8 @@ def run_train(cfg: TecoConfig) -> None:
                 break
         if n_batches == 0:
             raise ValueError("empty epoch: batch_size larger than dataset?")
+        g_loss = float(np.mean([float(v) for v in jax.device_get(g_vals)]))
+        d_loss = float(np.mean([float(v) for v in jax.device_get(d_vals)]))
 
         # per-epoch artifacts (main.py:283-294)
         os.makedirs(cfg.output_dir, exist_ok=True)

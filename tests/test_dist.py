@@ -94,9 +94,12 @@ def test_dryrun_multichip(n):
     __graft_entry__.dryrun_multichip(n)
 
 
+@pytest.mark.slow
 def test_dp_inference_matches_single_device():
     """Scenes sharded over the data axis must produce the same SR frames
-    as the single-device clip inference (run_inference's DP path)."""
+    as the single-device clip inference (run_inference's DP path).
+    Slow-marked (41s: 8 single-device compiles + the DP compile); the
+    default suite still covers DP inference via test_cli_dp_inference_e2e."""
     from tecogan_tpu.engine import build_clip_inference
     from tecogan_tpu.parallel import build_dp_inference
     from tecogan_tpu.parallel.mesh import replicated

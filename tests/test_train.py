@@ -200,7 +200,11 @@ def test_vgg_loss_gradient_points_toward_target(rng):
     assert float(l1) < float(l0)
 
 
+@pytest.mark.slow
 def test_vgg_scaling_enabled_in_train_step(rng):
+    """Slow-marked (27s: extra train-step compile with the VGG branch);
+    the VGG feature math itself stays in the default suite via
+    test_extras.py::test_vgg19_slim_features_normalized."""
     cfg = tiny_cfg(bug_parity=False, vgg_scaling=0.2)
     state = init_state(cfg, jax.random.PRNGKey(0))
     step_fn = build_train_step(cfg, vgg_apply=_stub_vgg_apply, donate=False)
