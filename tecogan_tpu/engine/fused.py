@@ -208,13 +208,15 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
     S = ix.shape[1:]
     gp1 = group + 1
 
-    # Everything below runs on FLAT (B*M,) coordinate vectors: with a real
-    # batch dim XLA stops fusing the masked combine into the gather
-    # consumer (measured ~71 ms/frame warp at B=2 vs ~6 at B=1, the rows
-    # tensor and every masked pass materializing in HBM); flattening the
-    # batch into the row axis keeps the graph shape-identical to B=1.
-    ix = ix.reshape(-1)
-    iy = iy.reshape(-1)
+    # B > 1 runs on FLAT (B*M,) coordinate vectors with PER-STREAM
+    # gathers: with a real batch dim XLA stops fusing the masked combine
+    # into the gather consumer and the concatenated table operand falls
+    # out of the gather's fast regime (measured ~71 ms/frame warp at B=2
+    # vs ~6 at B=1).  B == 1 keeps its original shaped graph untouched —
+    # flattening it too cost ~1.5 fps at 1080p (34.2 -> 32.7).
+    if B > 1:
+        ix = ix.reshape(-1)
+        iy = iy.reshape(-1)
 
     ix0 = jnp.floor(ix)
     iy0 = jnp.floor(iy)
@@ -235,22 +237,24 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
     s_in = xb - q * group  # base col within the packed group
 
     cols = W // group
-    M = ix.shape[0] // B
-    idx = yb * cols + q  # (B*M,) row within each stream's table
-    # Gather PER STREAM: the single-stream table (H*W/group rows x 32B,
-    # ~17 MB at 1080p) sits in the gather's fast regime; one concatenated
-    # (B*R, 32) operand falls off a cliff (measured ~65 ms vs ~6 ms per
-    # frame at B=2).  Unrolling keeps every gather operand small; the
-    # elementwise combine below stays batched-flat.
+    idx = yb * cols + q  # row within each stream's table
     if B == 1:
-        rows = jnp.take(table[0], idx, axis=0)
+        rows = jnp.take_along_axis(table, idx.reshape(B, -1)[..., None], axis=1)
+        rows = rows[..., : 2 * gp1 * C]  # drop lane padding
+        rows = rows.reshape(B, *S, 2, gp1, C)  # uint8
     else:
+        # Gather PER STREAM: the single-stream table (H*W/group rows x
+        # 32B, ~17 MB at 1080p) sits in the gather's fast regime; one
+        # concatenated (B*R, 32) operand falls off a cliff (measured ~65
+        # vs ~6 ms per frame at B=2).  Unrolling keeps every gather
+        # operand small; the elementwise combine stays batched-flat.
+        M = ix.shape[0] // B
         rows = jnp.concatenate(
             [jnp.take(table[b], idx[b * M : (b + 1) * M], axis=0)
              for b in range(B)]
         )
-    rows = rows[..., : 2 * gp1 * C]  # drop lane padding
-    rows = rows.reshape(B * M, 2, gp1, C)  # uint8
+        rows = rows[..., : 2 * gp1 * C]  # drop lane padding
+        rows = rows.reshape(B * M, 2, gp1, C)  # uint8
 
     # Combine arithmetic runs in bf16: uint8 tap values (0..255) are exact
     # in bf16 (8-bit mantissa), and the bilinear weights' ~2^-9 rounding is
@@ -290,7 +294,7 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
         + tap(1, 0) * wyc * (one - wxc)
         + tap(1, 1) * wyc * wxc
     )
-    return out.reshape(B, *S, C)
+    return out if B == 1 else out.reshape(B, *S, C)
 
 
 def grid_sample_packed_int8_pallas(image: jnp.ndarray, grid: jnp.ndarray,

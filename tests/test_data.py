@@ -217,3 +217,25 @@ class TestCaptures:
         assert n == 1001
         files = sorted(os.listdir(tmp_path / "scene_1000"))
         assert files == [f"col_high_{i:04d}.png" for i in range(6)]
+
+
+def test_frame_cache_is_lossless_and_bounded(scene_root):
+    """The decoded-frame cache must return byte-identical pixels to a
+    direct decode (PNGs are 8-bit, the cache stores uint8), and evict
+    FIFO once the byte cap is hit."""
+    ds_cached = TrainDataset(make_cfg(scene_root))
+    ds_cold = TrainDataset(make_cfg(scene_root), cache_mb=0)
+    for idx in (0, 1, WINDOWS_PER_SCENE):
+        a = ds_cached.get_clip(idx)
+        b = ds_cold.get_clip(idx)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+    # second fetch comes from cache and matches exactly
+    a2 = ds_cached.get_clip(0)
+    np.testing.assert_array_equal(a2[1], ds_cold.get_clip(0)[1])
+    assert ds_cached._cache_bytes > 0
+    # tiny cap: cache stays bounded under churn
+    ds_tiny = TrainDataset(make_cfg(scene_root), cache_mb=1)
+    for idx in range(0, 3 * WINDOWS_PER_SCENE // 2, 7):
+        ds_tiny.get_clip(idx % len(ds_tiny))
+    assert ds_tiny._cache_bytes <= 1 << 20
