@@ -157,10 +157,16 @@ def run_train(cfg: TecoConfig) -> None:
     devices = jax.devices()
     n_data = cfg.data_axis if cfg.data_axis > 0 else len(devices)
     use_dp = n_data > 1 and cfg.batch_size % n_data == 0
+    k_dispatch = max(1, cfg.steps_per_dispatch)
     sharding = None
     if use_dp:
         mesh = make_mesh(n_data)
-        step_fn = build_dp_train_step(cfg, mesh, vgg_apply=vgg_apply)
+        if k_dispatch > 1:
+            from ..parallel import build_dp_multi_train_step
+
+            step_fn = build_dp_multi_train_step(cfg, mesh, vgg_apply=vgg_apply)
+        else:
+            step_fn = build_dp_train_step(cfg, mesh, vgg_apply=vgg_apply)
         state = replicate_state(mesh, state)
         sharding = batch_sharding(mesh)
         print(f"data-parallel over {n_data} devices")
@@ -175,7 +181,14 @@ def run_train(cfg: TecoConfig) -> None:
                 f"divisible by the device count to enable data parallelism.",
                 stacklevel=1,
             )
-        step_fn = build_train_step(cfg, vgg_apply=vgg_apply)
+        if k_dispatch > 1:
+            from ..engine import build_multi_train_step
+
+            step_fn = build_multi_train_step(cfg, vgg_apply=vgg_apply)
+        else:
+            step_fn = build_train_step(cfg, vgg_apply=vgg_apply)
+    if k_dispatch > 1:
+        print(f"{k_dispatch} steps per dispatch (scanned in-device)")
 
     from ..utils.checkpoint import has_checkpoint, wait_for_async_save
 
@@ -234,12 +247,32 @@ def run_train(cfg: TecoConfig) -> None:
             dataset.batches(cfg.batch_size, shuffle=True, seed=cfg.rand_seed + epoch),
             queue_threads=cfg.queue_thread,
             prefetch=cfg.prefetch,
-            sharding=sharding,
+            sharding=None if k_dispatch > 1 else sharding,
         )
+        if k_dispatch > 1:
+            # stack K host batches per dispatch (engine.build_multi_train_step);
+            # a trailing partial group is dropped like DataLoader drop_last
+            def _grouped(it, k):
+                buf = []
+                for item in it:
+                    buf.append(item)
+                    if len(buf) == k:
+                        yield (np.stack([b[0] for b in buf]),
+                               np.stack([b[1] for b in buf]))
+                        buf = []
+
+            batches = _grouped(batches, k_dispatch)
+            if use_dp:
+                from ..parallel import multi_batch_sharding
+
+                kb_sharding = multi_batch_sharding(mesh)
         n_batches = 0
         lr_np = hr_np = gen_out = None
         g_vals, d_vals = [], []
         for batch_idx, (lr_np, hr_np) in enumerate(batches):
+            if k_dispatch > 1 and use_dp:
+                lr_np = jax.device_put(lr_np, kb_sharding)
+                hr_np = jax.device_put(hr_np, kb_sharding)
             # profiling window (SURVEY.md §5 tracing row): steps 10-15 of
             # the first profiled epoch land in --profile_dir
             if cfg.profile_dir and epoch == current_epoch and batch_idx == 10:
@@ -256,18 +289,29 @@ def run_train(cfg: TecoConfig) -> None:
             # running means (main.py:280-282) are materialized once below.
             g_vals.append(metrics["gen_loss"])
             d_vals.append(metrics["d_loss"])
-            n_batches += 1
+            n_batches += k_dispatch
             if cfg.log_every and batch_idx % cfg.log_every == 0:
-                writer.write(int(state.step), metrics, epoch=epoch)
+                log_m = metrics
+                if k_dispatch > 1:  # metrics carry a leading K dim
+                    log_m = {k: v[-1] for k, v in metrics.items()}
+                writer.write(int(state.step), log_m, epoch=epoch)
             if cfg.steps_per_epoch > 0 and n_batches >= cfg.steps_per_epoch:
                 break
         if n_batches == 0:
             raise ValueError("empty epoch: batch_size larger than dataset?")
-        g_loss = float(np.mean([float(v) for v in jax.device_get(g_vals)]))
-        d_loss = float(np.mean([float(v) for v in jax.device_get(d_vals)]))
+        g_loss = float(np.mean(np.concatenate(
+            [np.atleast_1d(np.asarray(v)) for v in jax.device_get(g_vals)])))
+        d_loss = float(np.mean(np.concatenate(
+            [np.atleast_1d(np.asarray(v)) for v in jax.device_get(d_vals)])))
+        if k_dispatch > 1:  # epoch-end reporting uses the last step's row
+            metrics = {k: v[-1] for k, v in metrics.items()}
 
-        # per-epoch artifacts (main.py:283-294)
+        # per-epoch artifacts (main.py:283-294); with K-step dispatch the
+        # held batch is (K, B, ...) — the artifacts show the last step's
         os.makedirs(cfg.output_dir, exist_ok=True)
+        if k_dispatch > 1:
+            lr_np = np.asarray(lr_np)[-1]
+            hr_np = np.asarray(hr_np)[-1]
         rng = np.random.default_rng(cfg.rand_seed + epoch)
         save_epoch_artifacts(
             cfg.output_dir,

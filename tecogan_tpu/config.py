@@ -117,6 +117,9 @@ class TecoConfig:
     log_every: int = 10  # steps between metric lines
     checkpoint_every: int = 1  # epochs between checkpoint saves
     steps_per_epoch: int = -1  # cap batches per epoch (-1 = full epoch)
+    steps_per_dispatch: int = 1  # train steps scanned inside one dispatch
+    # (>1 only helps on dispatch-bound links — measured SLOWER on the
+    # v5e remote setup; see DESIGN.md dispatch-granularity A/B)
     profile_dir: str = ""  # capture a jax.profiler trace of steps 10-15
     auto_resume: bool = False  # resume from output_dir checkpoints if present
     async_checkpoint: bool = True  # serialize checkpoints off the train loop
@@ -216,6 +219,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--checkpoint_every", default=d.checkpoint_every, type=int)
     p.add_argument("--steps_per_epoch", default=d.steps_per_epoch, type=int)
+    p.add_argument("--steps_per_dispatch", default=d.steps_per_dispatch, type=int)
     p.add_argument("--profile_dir", default=d.profile_dir)
     p.add_argument("--validate_every", default=d.validate_every, type=int)
     p.add_argument("--auto_resume", default=d.auto_resume, type=str2bool)

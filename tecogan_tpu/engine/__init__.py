@@ -1,5 +1,5 @@
 from .state import TrainState, init_state, make_optimizers, model_defs, lr_schedule
-from .train import build_train_step, set_epoch
+from .train import build_train_step, build_multi_train_step, set_epoch
 from .inference import (
     build_clip_inference,
     build_stream_inference,
@@ -10,7 +10,7 @@ from .inference import (
 
 __all__ = [
     "TrainState", "init_state", "make_optimizers", "model_defs", "lr_schedule",
-    "build_train_step", "set_epoch",
+    "build_train_step", "build_multi_train_step", "set_epoch",
     "build_clip_inference", "build_stream_inference", "sr_step", "first_frame",
     "StreamState",
 ]

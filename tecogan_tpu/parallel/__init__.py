@@ -3,13 +3,15 @@ from .mesh import (
     MODEL_AXIS,
     make_mesh,
     batch_sharding,
+    multi_batch_sharding,
     replicated,
     shard_batch,
     replicate_state,
 )
-from .dp import build_dp_train_step, build_dp_inference
+from .dp import build_dp_train_step, build_dp_multi_train_step, build_dp_inference
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding", "replicated",
-    "shard_batch", "replicate_state", "build_dp_train_step", "build_dp_inference",
+    "shard_batch", "replicate_state", "build_dp_train_step",
+    "build_dp_multi_train_step", "build_dp_inference", "multi_batch_sharding",
 ]

@@ -39,6 +39,28 @@ def build_dp_train_step(cfg: TecoConfig, mesh: Mesh, vgg_apply=None, donate=True
     )
 
 
+def build_dp_multi_train_step(cfg: TecoConfig, mesh: Mesh, vgg_apply=None,
+                              donate=True):
+    """Data-parallel K-steps-per-dispatch program: scan over
+    cfg.steps_per_dispatch stacked batches, each sharded over ``data``
+    on dim 1 (see engine.train.build_multi_train_step)."""
+    from ..engine.train import build_multi_train_step
+    from .mesh import multi_batch_sharding
+
+    base_cfg = cfg.replace(jit=False)
+    multi = build_multi_train_step(base_cfg, vgg_apply=vgg_apply, donate=False)
+
+    repl = replicated(mesh)
+    kb = multi_batch_sharding(mesh)
+
+    return jax.jit(
+        multi,
+        in_shardings=(repl, kb, kb),
+        out_shardings=(repl, repl, batch_sharding(mesh)),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def build_dp_inference(cfg: TecoConfig, mesh: Mesh):
     """Data-parallel clip inference: scenes sharded over the data axis."""
     from ..engine.inference import build_clip_inference

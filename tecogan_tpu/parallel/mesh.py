@@ -44,6 +44,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def multi_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard dim 1 (batch) over ``data`` for (K, B, ...) stacked-step
+    inputs (engine.train.build_multi_train_step)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -129,7 +129,7 @@ def test_cli_train_then_inference(cli_workspace):
         ["--mode", "train", "--input_video_dir", data,
          "--str_dir", "1000", "--end_dir", "1000",
          "--output_dir", out_dir, "--summary_dir", summary_dir,
-         "--max_epochs", "1"] + FAST_FLAGS,
+         "--max_epochs", "1", "--steps_per_dispatch", "2"] + FAST_FLAGS,
         cwd=str(root),
     )
     assert r.returncode == 0, r.stderr[-3000:]

@@ -241,3 +241,69 @@ def test_unmerged_dt_path_runs(rng):
         state.params_d, new_state.params_d,
     )
     assert max(jax.tree.leaves(diffs)) > 0.0
+
+
+@pytest.mark.slow
+def test_multi_step_matches_sequential_single_steps(rng):
+    """K scanned steps in one dispatch (build_multi_train_step) must equal
+    K sequential single-step dispatches bit-for-bit on the same batches.
+    Slow-marked (93s: compiles both programs); the CLI e2e train test
+    exercises the K>1 dispatch path."""
+    from tecogan_tpu.engine import build_multi_train_step
+
+    cfg = tiny_cfg(steps_per_dispatch=3)
+    lr_k = jnp.asarray(
+        rng.random((3, 2, cfg.RNN_N, 3, 8, 8)).astype(np.float32))
+    hr_k = jnp.asarray(
+        rng.random((3, 2, cfg.RNN_N, 3, 32, 32)).astype(np.float32))
+
+    s_single = init_state(cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(cfg, donate=False)
+    singles = []
+    for k in range(3):
+        s_single, m, _ = step_fn(s_single, lr_k[k], hr_k[k])
+        singles.append(m)
+
+    s_multi = init_state(cfg, jax.random.PRNGKey(0))
+    multi_fn = build_multi_train_step(cfg, donate=False)
+    s_multi, m_k, last_gen = multi_fn(s_multi, lr_k, hr_k)
+
+    assert int(s_multi.step) == int(s_single.step) == 3
+    for k in range(3):
+        np.testing.assert_allclose(
+            float(m_k["gen_loss"][k]), float(singles[k]["gen_loss"]),
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            float(m_k["d_loss"][k]), float(singles[k]["d_loss"]), rtol=1e-6)
+    leaves_a = jax.tree_util.tree_leaves(s_multi.params_g)
+    leaves_b = jax.tree_util.tree_leaves(s_single.params_g)
+    for a, b in zip(leaves_a, leaves_b):
+        # scan vs sequential compile to slightly different fusion orders;
+        # allow last-ulp-level drift after 3 Adam updates
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert last_gen.shape[0] == 2
+
+
+@pytest.mark.slow
+def test_dp_multi_step_runs_sharded(rng):
+    """DP + steps_per_dispatch compose: the scanned program runs with the
+    batch dim sharded over the 8-device mesh."""
+    from tecogan_tpu.parallel import (
+        make_mesh, build_dp_multi_train_step, replicate_state,
+        multi_batch_sharding,
+    )
+
+    cfg = tiny_cfg(batch_size=8, steps_per_dispatch=2, num_resblock=1)
+    mesh = make_mesh(8)
+    state = replicate_state(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+    multi_fn = build_dp_multi_train_step(cfg, mesh, donate=False)
+    lr_k = jax.device_put(
+        rng.random((2, 8, cfg.RNN_N, 3, 8, 8)).astype(np.float32),
+        multi_batch_sharding(mesh))
+    hr_k = jax.device_put(
+        rng.random((2, 8, cfg.RNN_N, 3, 32, 32)).astype(np.float32),
+        multi_batch_sharding(mesh))
+    state, m_k, last_gen = multi_fn(state, lr_k, hr_k)
+    assert int(state.step) == 2
+    assert np.all(np.isfinite(np.asarray(m_k["gen_loss"])))
+    assert last_gen.shape[0] == 8
