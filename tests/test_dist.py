@@ -148,3 +148,38 @@ def test_cli_dp_inference_e2e(tmp_path):
     run_inference(cfg)
     assert os.path.exists(str(tmp_path / "out" / "output0.mp4"))
     assert os.path.exists(str(tmp_path / "out" / "output1.mp4"))
+
+
+@pytest.mark.slow
+def test_tp_channel_sharded_step_matches_single_device(batch8):
+    """DP x TP on a (4, 2) mesh: conv kernels sharded over 'model', batch
+    over 'data' — the SPMD-propagated step must match the single-device
+    step numerically (sharding changes placement, never math).
+    Slow-marked (167s: two train-step compiles); the driver contract
+    (dryrun_multichip) exercises the DP x TP step on every run."""
+    from tecogan_tpu.parallel import build_tp_train_step, shard_state_tp
+
+    cfg = cfg8()
+    init = init_state(cfg, jax.random.PRNGKey(0))
+
+    ref_step = build_train_step(cfg, donate=False)
+    lr, hr = batch8
+    ref_state, ref_m, _ = ref_step(init, jnp.asarray(lr), jnp.asarray(hr))
+
+    mesh = make_mesh(4, 2)
+    state = shard_state_tp(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+    # at least one generator kernel must actually be model-sharded
+    shardings = jax.tree.leaves(
+        jax.tree.map(lambda x: x.sharding.spec, state.params_g))
+    assert any("model" in str(s) for s in shardings), shardings
+    tp_step = build_tp_train_step(cfg, mesh, donate=False)
+    lr_s, hr_s = shard_batch(mesh, lr, hr)
+    tp_state, tp_m, _ = tp_step(state, lr_s, hr_s)
+
+    np.testing.assert_allclose(
+        float(tp_m["gen_loss"]), float(ref_m["gen_loss"]), rtol=2e-5)
+    np.testing.assert_allclose(
+        float(tp_m["d_loss"]), float(ref_m["d_loss"]), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(tp_state.params_g),
+                    jax.tree.leaves(ref_state.params_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
