@@ -104,6 +104,16 @@ def run_inference(cfg: TecoConfig) -> None:
         write_clip(idx, clip, np.asarray(sr[0]), dt)
 
 
+_STOP_REQUESTED: list = []
+
+
+def request_graceful_stop(signum=None, frame=None) -> None:
+    """SIGTERM handler: ask the train loop to checkpoint and exit at the
+    next step boundary (preemption / driver-window friendly — an
+    uncheckpointed kill can lose up to checkpoint_every epochs)."""
+    _STOP_REQUESTED.append(signum or True)
+
+
 def run_train(cfg: TecoConfig) -> None:
     """Reference main.py:223-320: epoch loop with per-epoch artifacts,
     LR decay, and checkpoints — one jitted (optionally data-parallel)
@@ -233,6 +243,13 @@ def run_train(cfg: TecoConfig) -> None:
             scores.append(float(psnr(hr_nhwc, sr)))
         return float(np.mean(scores))
 
+    import signal
+
+    try:
+        _prev_term = signal.signal(signal.SIGTERM, request_graceful_stop)
+    except ValueError:  # not the main thread (embedded use) — no handler
+        _prev_term = None
+
     writer = SummaryWriter(cfg.summary_dir)
     since = time.time()
     log_keys = [
@@ -295,8 +312,16 @@ def run_train(cfg: TecoConfig) -> None:
                 if k_dispatch > 1:  # metrics carry a leading K dim
                     log_m = {k: v[-1] for k, v in metrics.items()}
                 writer.write(int(state.step), log_m, epoch=epoch)
+            if _STOP_REQUESTED:
+                break
             if cfg.steps_per_epoch > 0 and n_batches >= cfg.steps_per_epoch:
                 break
+        if _STOP_REQUESTED:
+            save_train_state(cfg.output_dir, jax.device_get(state), epoch,
+                             async_save=False)
+            print(f"SIGTERM: checkpointed epoch {epoch} after {n_batches} "
+                  "steps, exiting cleanly")
+            break
         if n_batches == 0:
             raise ValueError("empty epoch: batch_size larger than dataset?")
         g_loss = float(np.mean(np.concatenate(
@@ -344,6 +369,9 @@ def run_train(cfg: TecoConfig) -> None:
         print(f"Training time {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
     wait_for_async_save()
     writer.close()
+    _STOP_REQUESTED.clear()
+    if _prev_term is not None:
+        signal.signal(signal.SIGTERM, _prev_term)
 
 
 def main(argv=None) -> None:

@@ -455,14 +455,6 @@ def planar_pseudo_flow_coords(prev_lr: jnp.ndarray):
     H4, W4 = 4 * H, 4 * W
     Mh, Mw_e, Mw_o = _planar_coord_matrices(H, W)
 
-    # Per-stream at B>1 for the same reason as the warp gather: the
-    # batched einsum falls out of the fast regime (~18 ms vs ~0.5 ms per
-    # frame at B=2); B independent copies of the B=1 graph stay fast.
-    if B > 1:
-        per = [planar_pseudo_flow_coords(prev_lr[b : b + 1]) for b in range(B)]
-        return (jnp.concatenate([p[0] for p in per]),
-                jnp.concatenate([p[1] for p in per]))
-
     Mh, Mw_e, Mw_o = (jnp.asarray(m) for m in (Mh, Mw_e, Mw_o))
     rg = jnp.transpose(prev_lr[..., 0:2], (0, 3, 1, 2)).astype(jnp.float32)
     up_v = jnp.einsum("rh,bchw->bcrw", Mh, rg)  # (B, 2, H4, W)

@@ -229,3 +229,25 @@ def test_live_demo_synthetic(cli_workspace, tmp_path):
     cap = cv2.VideoCapture(out)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
     cap.release()
+
+
+@pytest.mark.slow
+def test_sigterm_graceful_checkpoint(cli_workspace, tmp_path):
+    """A pending stop request makes run_train checkpoint mid-epoch and
+    exit cleanly (preemption safety); auto-resume picks the state up."""
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.cli.main import run_train, request_graceful_stop
+    from tecogan_tpu.utils.checkpoint import has_checkpoint
+
+    root, data = cli_workspace
+    out = str(tmp_path / "sig_out")
+    cfg = TecoConfig(
+        mode="train", input_video_dir=data, str_dir=1000, end_dir=1000,
+        crop_size=8, RNN_N=9, num_resblock=2, discrim_resblocks=1,
+        discrim_channels=16, precision="fp32", batch_size=2,
+        max_epochs=50, steps_per_epoch=3, output_dir=out,
+        summary_dir=str(tmp_path / "sig_summary"),
+    )
+    request_graceful_stop()
+    run_train(cfg)  # must return after ~1 step instead of 50 epochs
+    assert has_checkpoint(out)
