@@ -240,3 +240,79 @@ def test_tecogan_loss_parity_vs_reference(rng):
                                rtol=5e-4, atol=1e-5)
     np.testing.assert_allclose(float(d_loss), float(net.d_loss),
                                rtol=5e-4, atol=1e-5)
+
+
+def test_export_generator_roundtrip_into_reference(rng, tmp_path):
+    """Reverse conversion: a tecogan_tpu generator checkpoint exported via
+    `convert_torch_ckpt.py --reverse` must load into the ACTUAL reference
+    generator (load_state_dict strict) and produce the same forward output
+    — a trained TPU model can drive /root/reference/main.py inference."""
+    import subprocess
+    import sys as _sys
+
+    from tecogan_tpu.engine import init_state
+    from tecogan_tpu.utils.checkpoint import save_train_state
+
+    ref_models, _, _ = load_reference()
+    cfg = TecoConfig(num_resblock=4, discrim_resblocks=1,
+                     discrim_channels=16, crop_size=16, precision="fp32")
+    state = init_state(cfg, jax.random.PRNGKey(7))
+    save_train_state(str(tmp_path), state, epoch=3)
+
+    out_pt = str(tmp_path / "generator_ref.pt")
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/tools/convert_torch_ckpt.py",
+         "--reverse", str(tmp_path / "generator.ckpt"),
+         "--arch", "generator", "--num_resblock", "4", "--out", out_pt],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    raw = torch.load(out_pt, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 3
+    tg = ref_models.generator(3, args=_args_ns(cfg))
+    tg.load_state_dict(raw["model_state_dict"], strict=True)  # exact names
+    tg.eval()
+
+    x = rng.random((2, 51, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = tg(torch.from_numpy(x)).numpy()
+    out = Generator(num_resblock=4).apply(
+        {"params": state.params_g},
+        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+    )
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_export_discriminator_roundtrip_into_reference(rng, tmp_path):
+    """Same for the discriminator (params + BN running stats)."""
+    import subprocess
+    import sys as _sys
+
+    from tecogan_tpu.engine import init_state
+    from tecogan_tpu.utils.checkpoint import save_train_state
+
+    ref_models, _, _ = load_reference()
+    cfg = TecoConfig(num_resblock=2, discrim_resblocks=2,
+                     discrim_channels=32, crop_size=32, precision="fp32")
+    state = init_state(cfg, jax.random.PRNGKey(8))
+    save_train_state(str(tmp_path), state, epoch=0)
+
+    out_pt = str(tmp_path / "discrim_ref.pt")
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/tools/convert_torch_ckpt.py",
+         "--reverse", str(tmp_path / "discrim.ckpt"),
+         "--arch", "discriminator", "--discrim_resblocks", "2",
+         "--out", out_pt],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    raw = torch.load(out_pt, map_location="cpu", weights_only=False)
+    td = ref_models.discriminator(args=_args_ns(cfg))
+    missing, unexpected = td.load_state_dict(raw["model_state_dict"],
+                                             strict=False)
+    # only num_batches_tracked counters may be absent
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in m for m in missing), missing

@@ -142,21 +142,137 @@ def convert_vgg19(sd):
     return p
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: tecogan_tpu params -> reference-loadable torch .pt
+# (so a trained TPU checkpoint drives /root/reference/main.py --mode
+# inference, which reads g_checkpoint["model_state_dict"], main.py:169-170)
+# ---------------------------------------------------------------------------
+
+
+def _t(x):
+    import torch
+
+    return torch.from_numpy(np.asarray(x, dtype=np.float32).copy())
+
+
+def _conv_rev(sd, prefix, p):
+    sd[f"{prefix}.weight"] = _t(np.transpose(p["kernel"], (3, 2, 0, 1)))
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _conv_tran_rev(sd, prefix, p):
+    k = np.asarray(p["kernel"])[::-1, ::-1]  # unflip spatial
+    sd[f"{prefix}.weight"] = _t(np.transpose(k, (2, 3, 0, 1)))  # (I, O, kh, kw)
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _t(p["bias"])
+
+
+def _resblock_rev(sd, prefix, p):
+    _conv_rev(sd, f"{prefix}.0", p["Conv_0"])
+    _conv_rev(sd, f"{prefix}.2", p["Conv_1"])
+
+
+def export_generator(params, num_resblock=16):
+    """Our generator params pytree -> reference state dict
+    (code/models.py:61-86 module names; inverse of convert_generator)."""
+    sd = {}
+    _conv_rev(sd, "conv.0", params["conv_in"])
+    for i in range(num_resblock):
+        _resblock_rev(sd, f"resids.{i}", params[f"resblock_{i}"])
+    _conv_tran_rev(sd, "conv_trans.0", params["up1"])
+    _resblock_rev(sd, "conv_trans.2", params["trunk_rb1"])
+    _resblock_rev(sd, "conv_trans.3", params["trunk_rb2"])
+    _conv_tran_rev(sd, "conv_trans.4", params["up2"])
+    _conv_rev(sd, "conv_trans.6", params["conv_hr"])
+    _conv_rev(sd, "output", params["conv_out"])
+    return sd
+
+
+def export_discriminator(params, stats, resblocks=4):
+    """Our discriminator params+batch_stats -> reference state dict
+    (code/models.py:97-146).  Inference-grade: BN running stats included;
+    optimizer state is NOT exported (resume in the reference needs its
+    own optimizer_state_dict, main.py:251-263)."""
+    sd = {}
+    _conv_rev(sd, "conv.0", params["conv_in"])
+
+    def bn_rev(prefix, bn_p, bn_s):
+        sd[f"{prefix}.weight"] = _t(bn_p["scale"])
+        sd[f"{prefix}.bias"] = _t(bn_p["bias"])
+        sd[f"{prefix}.running_mean"] = _t(bn_s["mean"])
+        sd[f"{prefix}.running_var"] = _t(bn_s["var"])
+
+    def block_rev(name, prefix):
+        _conv_rev(sd, f"{prefix}.0", params[name]["Conv_0"])
+        bn_rev(f"{prefix}.1", params[name]["BatchNorm_0"],
+               stats[name]["BatchNorm_0"])
+
+    def resgroup_rev(name, prefix):
+        for i in range(resblocks):
+            _resblock_rev(sd, f"{prefix}.{i}.0", params[name][f"rb_{i}"])
+            bn_rev(f"{prefix}.{i}.1", params[name][f"bn_{i}"],
+                   stats[name][f"bn_{i}"])
+
+    block_rev("block1", "block1")
+    resgroup_rev("resids1", "resids1")
+    block_rev("block2", "block2")
+    resgroup_rev("resids2", "resids2")
+    block_rev("block3", "block3")
+    resgroup_rev("resids3", "resids3")
+    block_rev("block4", "block4")
+    block_rev("block5", "block5")
+    sd["fc.weight"] = _t(np.asarray(params["fc"]["kernel"]).T)
+    sd["fc.bias"] = _t(params["fc"]["bias"])
+    return sd
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--torch", required=True, help="input .pt/.pth file")
+    ap.add_argument("--torch", help="input .pt/.pth file (forward direction)")
     ap.add_argument("--arch", required=True,
                     choices=["generator", "discriminator", "vgg19"])
     ap.add_argument("--out", required=True)
     ap.add_argument("--num_resblock", type=int, default=16)
     ap.add_argument("--discrim_resblocks", type=int, default=4)
+    ap.add_argument("--reverse", metavar="CKPT",
+                    help="export a tecogan_tpu .ckpt to a reference-"
+                         "loadable torch .pt instead")
     args = ap.parse_args(argv)
 
     import torch
 
     sys.path.insert(0, "/root/repo")
-    from tecogan_tpu.utils.checkpoint import save_pytree
+    from tecogan_tpu.utils.checkpoint import save_pytree, load_flat
 
+    if args.reverse:
+        if args.arch == "vgg19":
+            ap.error("--reverse supports generator/discriminator")
+        flat, meta = load_flat(args.reverse)
+        # rebuild the nested pytree from "//"-joined flat path keys
+        tree: dict = {}
+        for path, arr in flat.items():
+            node = tree
+            parts = path.split("//")
+            for key in parts[:-1]:
+                node = node.setdefault(key, {})
+            node[parts[-1]] = arr
+        params = tree.get("model_state_dict", tree)
+        if args.arch == "generator":
+            sd = export_generator(params, args.num_resblock)
+            torch.save(
+                {"epoch": int(meta.get("epoch", 0)), "model_state_dict": sd},
+                args.out,
+            )
+        else:
+            stats = tree.get("batch_stats", {})
+            sd = export_discriminator(params, stats, args.discrim_resblocks)
+            torch.save({"model_state_dict": sd}, args.out)
+        print(f"wrote {args.out} (torch)")
+        return
+
+    if not args.torch:
+        ap.error("--torch is required (or use --reverse)")
     raw = torch.load(args.torch, map_location="cpu", weights_only=False)
     sd = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
     epoch = raw.get("epoch", 0) if isinstance(raw, dict) else 0
