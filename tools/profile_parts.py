@@ -1,6 +1,12 @@
 #!/usr/bin/env python3
-"""Per-stage timing of the fused inference pipeline at several batch sizes
-(diagnosing batched-serving scaling; see DESIGN.md serving section)."""
+"""Per-stage timing of the fused inference pipeline at several batch sizes.
+
+CAVEAT (measured): through the remote-TPU tunnel, per-call dispatch
+latency (~300 ms) swamps every stage when ops are timed as separate jit
+calls — the numbers from this tool are only meaningful on a LOCAL
+device.  For tunnel setups use tools/profile_scan_variants.py, which
+times whole-clip scan variants with stages stubbed (differences isolate
+per-stage in-context cost)."""
 
 import os
 import sys
