@@ -174,6 +174,8 @@ def main(argv=None):
             "(--g_checkpoint and --input_dir_HR)"
         )
 
+    if not results:
+        raise SystemExit("no clips scored (check --input_dir_HR contents)")
     agg = {"clip": "__aggregate__", "clips": len(results)}
     for key in ("psnr_db", "psnr_global_db", "ssim", "vgg_dist",
                 "lpips", "lpips_surrogate"):

@@ -72,6 +72,14 @@ def run_inference(cfg: TecoConfig) -> None:
     # Data-parallel inference: scenes sharded over the mesh when several
     # same-shape clips are queued and >1 device is visible.
     n_data = cfg.data_axis if cfg.data_axis > 0 else len(jax.devices())
+    if n_data > len(jax.devices()):
+        import warnings
+
+        warnings.warn(
+            f"--data_axis {n_data} exceeds the {len(jax.devices())} visible "
+            "device(s); running sequential inference instead.", stacklevel=1
+        )
+        n_data = 1
     done = 0
     if n_data > 1 and len(clips) >= n_data and len(
         {c.shape for c in clips}
@@ -257,121 +265,129 @@ def run_train(cfg: TecoConfig) -> None:
         "t_discrim_real_output", "t_discrim_fake_output", "learning_rate",
     ]
 
-    for epoch in range(current_epoch, cfg.max_epochs):
-        state = set_epoch(state, epoch)
-        g_loss = d_loss = 0.0
-        batches = make_input_pipeline(
-            dataset.batches(cfg.batch_size, shuffle=True, seed=cfg.rand_seed + epoch),
-            queue_threads=cfg.queue_thread,
-            prefetch=cfg.prefetch,
-            sharding=None if k_dispatch > 1 else sharding,
-        )
-        if k_dispatch > 1:
-            # stack K host batches per dispatch (engine.build_multi_train_step);
-            # a trailing partial group is dropped like DataLoader drop_last
-            def _grouped(it, k):
-                buf = []
-                for item in it:
-                    buf.append(item)
-                    if len(buf) == k:
-                        yield (np.stack([b[0] for b in buf]),
-                               np.stack([b[1] for b in buf]))
-                        buf = []
-
-            batches = _grouped(batches, k_dispatch)
-            if use_dp:
-                from ..parallel import multi_batch_sharding
-
-                kb_sharding = multi_batch_sharding(mesh)
-        n_batches = 0
-        lr_np = hr_np = gen_out = None
-        g_vals, d_vals = [], []
-        for batch_idx, (lr_np, hr_np) in enumerate(batches):
-            if k_dispatch > 1 and use_dp:
-                lr_np = jax.device_put(lr_np, kb_sharding)
-                hr_np = jax.device_put(hr_np, kb_sharding)
-            # profiling window (SURVEY.md §5 tracing row): steps 10-15 of
-            # the first profiled epoch land in --profile_dir
-            if cfg.profile_dir and epoch == current_epoch and batch_idx == 10:
-                jax.profiler.start_trace(cfg.profile_dir)
-            state, metrics, gen_out = step_fn(
-                state, jnp.asarray(lr_np), jnp.asarray(hr_np)
+    try:
+        for epoch in range(current_epoch, cfg.max_epochs):
+            state = set_epoch(state, epoch)
+            g_loss = d_loss = 0.0
+            raw_batches = dataset.batches(
+                cfg.batch_size, shuffle=True, seed=cfg.rand_seed + epoch
             )
-            if cfg.profile_dir and epoch == current_epoch and batch_idx == 15:
-                jax.block_until_ready(state)
-                jax.profiler.stop_trace()
-            # Keep loss scalars ON DEVICE here: a float() per step forces a
-            # host sync that serializes the async dispatch queue (fatal
-            # over a remote-TPU link — one round-trip per step); the epoch
-            # running means (main.py:280-282) are materialized once below.
-            g_vals.append(metrics["gen_loss"])
-            d_vals.append(metrics["d_loss"])
-            n_batches += k_dispatch
-            if cfg.log_every and batch_idx % cfg.log_every == 0:
-                log_m = metrics
-                if k_dispatch > 1:  # metrics carry a leading K dim
-                    log_m = {k: v[-1] for k, v in metrics.items()}
-                writer.write(int(state.step), log_m, epoch=epoch)
+            epoch_sharding = sharding
+            if k_dispatch > 1:
+                # stack K HOST batches per dispatch BEFORE the device-prefetch
+                # stage (one upload per group; grouping after it would bounce
+                # each batch device->host->device).  A trailing partial group
+                # is dropped like DataLoader drop_last.
+                def _grouped(it, k):
+                    buf = []
+                    for item in it:
+                        buf.append(item)
+                        if len(buf) == k:
+                            yield (np.stack([b[0] for b in buf]),
+                                   np.stack([b[1] for b in buf]))
+                            buf = []
+
+                raw_batches = _grouped(raw_batches, k_dispatch)
+                if use_dp:
+                    from ..parallel import multi_batch_sharding
+
+                    epoch_sharding = multi_batch_sharding(mesh)
+            batches = make_input_pipeline(
+                raw_batches,
+                queue_threads=cfg.queue_thread,
+                prefetch=cfg.prefetch,
+                sharding=epoch_sharding,
+            )
+            n_batches = 0
+            lr_np = hr_np = gen_out = None
+            g_vals, d_vals = [], []
+            for batch_idx, (lr_np, hr_np) in enumerate(batches):
+                # profiling window (SURVEY.md §5 tracing row): steps 10-15 of
+                # the first profiled epoch land in --profile_dir
+                if cfg.profile_dir and epoch == current_epoch and batch_idx == 10:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                state, metrics, gen_out = step_fn(
+                    state, jnp.asarray(lr_np), jnp.asarray(hr_np)
+                )
+                if cfg.profile_dir and epoch == current_epoch and batch_idx == 15:
+                    jax.block_until_ready(state)
+                    jax.profiler.stop_trace()
+                # Keep loss scalars ON DEVICE here: a float() per step forces a
+                # host sync that serializes the async dispatch queue (fatal
+                # over a remote-TPU link — one round-trip per step); the epoch
+                # running means (main.py:280-282) are materialized once below.
+                g_vals.append(metrics["gen_loss"])
+                d_vals.append(metrics["d_loss"])
+                n_batches += k_dispatch
+                if cfg.log_every and batch_idx % cfg.log_every == 0:
+                    log_m = metrics
+                    if k_dispatch > 1:  # metrics carry a leading K dim
+                        log_m = {k: v[-1] for k, v in metrics.items()}
+                    writer.write(int(state.step), log_m, epoch=epoch)
+                if _STOP_REQUESTED:
+                    break
+                if cfg.steps_per_epoch > 0 and n_batches >= cfg.steps_per_epoch:
+                    break
             if _STOP_REQUESTED:
+                save_train_state(cfg.output_dir, jax.device_get(state), epoch,
+                                 async_save=False)
+                print(f"SIGTERM: checkpointed epoch {epoch} after {n_batches} "
+                      "steps, exiting cleanly")
                 break
-            if cfg.steps_per_epoch > 0 and n_batches >= cfg.steps_per_epoch:
-                break
-        if _STOP_REQUESTED:
-            save_train_state(cfg.output_dir, jax.device_get(state), epoch,
-                             async_save=False)
-            print(f"SIGTERM: checkpointed epoch {epoch} after {n_batches} "
-                  "steps, exiting cleanly")
-            break
-        if n_batches == 0:
-            raise ValueError("empty epoch: batch_size larger than dataset?")
-        g_loss = float(np.mean(np.concatenate(
-            [np.atleast_1d(np.asarray(v)) for v in jax.device_get(g_vals)])))
-        d_loss = float(np.mean(np.concatenate(
-            [np.atleast_1d(np.asarray(v)) for v in jax.device_get(d_vals)])))
-        if k_dispatch > 1:  # epoch-end reporting uses the last step's row
-            metrics = {k: v[-1] for k, v in metrics.items()}
+            if n_batches == 0:
+                raise ValueError("empty epoch: batch_size larger than dataset?")
+            g_loss = float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in jax.device_get(g_vals)])))
+            d_loss = float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in jax.device_get(d_vals)])))
+            if k_dispatch > 1:  # epoch-end reporting uses the last step's row
+                metrics = {k: v[-1] for k, v in metrics.items()}
 
-        # per-epoch artifacts (main.py:283-294); with K-step dispatch the
-        # held batch is (K, B, ...) — the artifacts show the last step's
-        os.makedirs(cfg.output_dir, exist_ok=True)
-        if k_dispatch > 1:
-            lr_np = np.asarray(lr_np)[-1]
-            hr_np = np.asarray(hr_np)[-1]
-        rng = np.random.default_rng(cfg.rand_seed + epoch)
-        save_epoch_artifacts(
-            cfg.output_dir,
-            np.asarray(gen_out),
-            np.asarray(hr_np),
-            np.asarray(lr_np),
-            cfg.RNN_N,
-            sample_index=int(rng.integers(0, len(np.asarray(hr_np)))),
-        )
-
-        print(f"Epoch: {epoch + 1}")
-        print(f"Generator loss is: {g_loss}\nDiscriminator loss is: {d_loss}")
-        lr_now = float(metrics["learning_rate"])
-        print(f"Generator lr is: {lr_now}, Discriminator lr is: {lr_now}")
-        print(format_metrics({k: metrics[k] for k in log_keys if k in metrics}))
-
-        if val_dataset is not None and (epoch + 1) % cfg.validate_every == 0:
-            val_psnr = run_validation(state.params_g)
-            writer.write(int(state.step), {"val_psnr_db": val_psnr}, epoch=epoch)
-            print(f"Validation PSNR: {val_psnr:.3f} dB")
-
-        if (epoch + 1) % cfg.checkpoint_every == 0:
-            save_train_state(
-                cfg.output_dir, jax.device_get(state), epoch,
-                async_save=cfg.async_checkpoint,
+            # per-epoch artifacts (main.py:283-294); with K-step dispatch the
+            # held batch is (K, B, ...) — the artifacts show the last step's
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            if k_dispatch > 1:
+                lr_np = np.asarray(lr_np)[-1]
+                hr_np = np.asarray(hr_np)[-1]
+            rng = np.random.default_rng(cfg.rand_seed + epoch)
+            save_epoch_artifacts(
+                cfg.output_dir,
+                np.asarray(gen_out),
+                np.asarray(hr_np),
+                np.asarray(lr_np),
+                cfg.RNN_N,
+                sample_index=int(rng.integers(0, len(np.asarray(hr_np)))),
             )
-            print("Saving model...")
 
-        elapsed = time.time() - since
-        print(f"Training time {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
-    wait_for_async_save()
-    writer.close()
-    _STOP_REQUESTED.clear()
-    if _prev_term is not None:
-        signal.signal(signal.SIGTERM, _prev_term)
+            print(f"Epoch: {epoch + 1}")
+            print(f"Generator loss is: {g_loss}\nDiscriminator loss is: {d_loss}")
+            lr_now = float(metrics["learning_rate"])
+            print(f"Generator lr is: {lr_now}, Discriminator lr is: {lr_now}")
+            print(format_metrics({k: metrics[k] for k in log_keys if k in metrics}))
+
+            if val_dataset is not None and (epoch + 1) % cfg.validate_every == 0:
+                val_psnr = run_validation(state.params_g)
+                writer.write(int(state.step), {"val_psnr_db": val_psnr}, epoch=epoch)
+                print(f"Validation PSNR: {val_psnr:.3f} dB")
+
+            if (epoch + 1) % cfg.checkpoint_every == 0:
+                save_train_state(
+                    cfg.output_dir, jax.device_get(state), epoch,
+                    async_save=cfg.async_checkpoint,
+                )
+                print("Saving model...")
+
+            elapsed = time.time() - since
+            print(f"Training time {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
+        wait_for_async_save()
+        writer.close()
+    finally:
+        # always clear the stop flag and restore the previous
+        # SIGTERM handler, even on exceptions — a leaked flag makes
+        # the NEXT run_train in this process exit after one step
+        _STOP_REQUESTED.clear()
+        if _prev_term is not None:
+            signal.signal(signal.SIGTERM, _prev_term)
 
 
 def main(argv=None) -> None:

@@ -117,6 +117,11 @@ class TecoConfig:
     log_every: int = 10  # steps between metric lines
     checkpoint_every: int = 1  # epochs between checkpoint saves
     steps_per_epoch: int = -1  # cap batches per epoch (-1 = full epoch)
+    gather_unroll_streams: bool = True  # per-stream warp gathers at B>1
+    # (internal, no CLI flag: right for a LOCAL batch dim, wrong when the
+    # batch axis is mesh-sharded — build_dp_inference turns it off so each
+    # shard keeps the fast B=1 gather graph instead of table[b] slices
+    # that would force cross-device movement)
     steps_per_dispatch: int = 1  # train steps scanned inside one dispatch
     # (>1 only helps on dispatch-bound links — measured SLOWER on the
     # v5e remote setup; see DESIGN.md dispatch-granularity A/B)

@@ -301,7 +301,12 @@ def create_capture(source=0, fallback: Optional[str] = DEFAULT_FALLBACK):
         src = int(src)
     except ValueError:
         pass
-    params = dict(s.split("=") for s in chunks[1:])
+    try:
+        params = dict(s.split("=") for s in chunks[1:])
+    except ValueError:
+        # a ':' that isn't spec grammar (rtsp://..., http://..., odd
+        # paths): treat the whole string as the capture source
+        src, params = source, {}
 
     cap = None
     if src == "synth":

@@ -90,7 +90,7 @@ def extract_scenes(video_path: str, starts, out_dir: str, scene_index: int,
         cap = create_capture(
             video_path, DEFAULT_FALLBACK if synth_fallback else None
         )
-        if cap is None:
+        if cap is None or not cap.isOpened():
             print(f"cannot open {video_path}; scene skipped")
             continue
         cap.set(cv2.CAP_PROP_POS_FRAMES, start)

@@ -56,11 +56,13 @@ def moving_rect_scene(
 
 
 def chess_scene(
-    num_frames: int = 120, height: int = 128, width: int = 128, cells: int = 8
+    num_frames: int = 120, height: int = 128, width: int = 128, cells: int = 8,
+    phase: int = 0,
 ) -> np.ndarray:
     """A drifting checkerboard (the spirit of data/video.py:131-161's Chess
     class without the 3D projection machinery): pure translation, so optical
-    flow is known exactly — useful for warp tests."""
+    flow is known exactly — useful for warp tests.  ``phase`` offsets the
+    drift so repeated uses yield distinct clips."""
     cell_h, cell_w = height // cells, width // cells
     yy, xx = np.mgrid[0 : 2 * height, 0 : 2 * width]
     board = (((yy // cell_h) + (xx // cell_w)) % 2).astype(np.float32)
@@ -68,8 +70,8 @@ def chess_scene(
 
     frames = np.empty((num_frames, height, width, 3), np.float32)
     for t in range(num_frames):
-        dy = (2 * t) % height
-        dx = (3 * t) % width
+        dy = (2 * (t + phase)) % height
+        dx = (3 * (t + phase)) % width
         frames[t] = board[dy : dy + height, dx : dx + width]
     return frames
 
@@ -148,7 +150,7 @@ def write_synthetic_scene_folders(
     makers = [lambda s: moving_rect_scene(frames_per_scene, size, size, seed=s)]
     if variety:
         makers += [
-            lambda s: chess_scene(frames_per_scene, size, size),
+            lambda s: chess_scene(frames_per_scene, size, size, phase=5 * s),
             lambda s: _capture_scene("chess", frames_per_scene, size, s),
             lambda s: _capture_scene("book", frames_per_scene, size, s),
             lambda s: _capture_scene("cube", frames_per_scene, size, s),

@@ -187,19 +187,22 @@ def grid_sample_packed_int8(image: jnp.ndarray, grid: jnp.ndarray,
 
 
 def grid_sample_packed_int8_coords(image: jnp.ndarray, ix: jnp.ndarray,
-                                   iy: jnp.ndarray, group: int = 4) -> jnp.ndarray:
+                                   iy: jnp.ndarray, group: int = 4,
+                                   unroll_streams: bool = True) -> jnp.ndarray:
     """grid_sample_packed_int8 taking UNNORMALIZED planar coordinate
     arrays (B, *S) — the production entry: planar_pseudo_flow_coords feeds
     this without ever building the lane-hostile (…, 2) grid."""
     table = build_packed_table_int8(image, group)
     B, H, W, C = image.shape
-    out = _packed_gather_combine(table, ix, iy, H, W, group, C)
+    out = _packed_gather_combine(table, ix, iy, H, W, group, C,
+                                 unroll_streams=unroll_streams)
     return out.astype(image.dtype)
 
 
 def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
                            iy: jnp.ndarray, H: int, W: int,
-                           group: int, C: int) -> jnp.ndarray:
+                           group: int, C: int,
+                           unroll_streams: bool = True) -> jnp.ndarray:
     """Shared gather + bilinear combine over a packed-int8 tap table
     (layout of build_packed_table_int8 / build_packed_table_s2d):
     row (y * W//group + q) holds taps [r<2][c5<group+1][ch<C] =
@@ -214,7 +217,12 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
     # out of the gather's fast regime (measured ~71 ms/frame warp at B=2
     # vs ~6 at B=1).  B == 1 keeps its original shaped graph untouched —
     # flattening it too cost ~1.5 fps at 1080p (34.2 -> 32.7).
-    if B > 1:
+    # unroll_streams=False keeps the shaped batched gather instead — the
+    # right lowering when the batch axis is MESH-SHARDED (DP inference:
+    # one stream per device means each shard sees the fast B=1 graph,
+    # while table[b] dynamic-slices would force cross-device movement).
+    unroll = unroll_streams and B > 1
+    if unroll:
         ix = ix.reshape(-1)
         iy = iy.reshape(-1)
 
@@ -238,7 +246,7 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
 
     cols = W // group
     idx = yb * cols + q  # row within each stream's table
-    if B == 1:
+    if not unroll:
         rows = jnp.take_along_axis(table, idx.reshape(B, -1)[..., None], axis=1)
         rows = rows[..., : 2 * gp1 * C]  # drop lane padding
         rows = rows.reshape(B, *S, 2, gp1, C)  # uint8
@@ -294,7 +302,7 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
         + tap(1, 0) * wyc * (one - wxc)
         + tap(1, 1) * wyc * wxc
     )
-    return out if B == 1 else out.reshape(B, *S, C)
+    return out.reshape(B, *S, C) if unroll else out
 
 
 def grid_sample_packed_int8_pallas(image: jnp.ndarray, grid: jnp.ndarray,
@@ -561,7 +569,8 @@ def fused_first_frame(gen: Generator, variables, params_g, lr0):
 
 def fused_sr_step(gen: Generator, variables, params_g, prev_sr, prev_lr,
                   cur_lr, parity_half: bool = False,
-                  int8_feedback: bool = True, warp_group: int = 4):
+                  int8_feedback: bool = True, warp_group: int = 4,
+                  unroll_streams: bool = True):
     """One recurrent SR step on the fused fast path (NHWC).
 
     Equivalent to engine.inference.sr_step to float/quantization tolerance;
@@ -574,7 +583,9 @@ def fused_sr_step(gen: Generator, variables, params_g, prev_sr, prev_lr,
     """
     if int8_feedback and prev_sr.shape[2] % warp_group == 0 and not parity_half:
         ix, iy = planar_pseudo_flow_coords(prev_lr)
-        warped = grid_sample_packed_int8_coords(prev_sr, ix, iy, group=warp_group)
+        warped = grid_sample_packed_int8_coords(
+            prev_sr, ix, iy, group=warp_group, unroll_streams=unroll_streams
+        )
         net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
         return gen.apply(variables, net, method=Generator.tail)
 
@@ -671,13 +682,14 @@ def build_packed_table_s2d(s2d: jnp.ndarray, group: int = 4) -> jnp.ndarray:
 
 
 def warp_s2d_carry(carry_s2d: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
-                   group: int = 4) -> jnp.ndarray:
+                   group: int = 4, unroll_streams: bool = True) -> jnp.ndarray:
     """Warp the s2d-layout carried SR frame by planar coordinates ->
     (B, 4H, 4W, C) warped HR image (bf16)."""
     B, Hl, Wl, C16 = carry_s2d.shape
     C = C16 // 16
     table = build_packed_table_s2d(carry_s2d, group)
-    return _packed_gather_combine(table, ix, iy, 4 * Hl, 4 * Wl, group, C)
+    return _packed_gather_combine(table, ix, iy, 4 * Hl, 4 * Wl, group, C,
+                                  unroll_streams=unroll_streams)
 
 
 def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0, K6, b_s2d):
@@ -695,10 +707,10 @@ def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0, K6, b_s2d):
 
 
 def fused_sr_step_s2d(gen: Generator, variables, params_g, carry_s2d,
-                      prev_lr, cur_lr, K6, b_s2d):
+                      prev_lr, cur_lr, K6, b_s2d, unroll_streams: bool = True):
     """One recurrent step, s2d carry in -> s2d carry out."""
     ix, iy = planar_pseudo_flow_coords(prev_lr)
-    warped = warp_s2d_carry(carry_s2d, ix, iy)
+    warped = warp_s2d_carry(carry_s2d, ix, iy, unroll_streams=unroll_streams)
     net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
     feat = gen.apply(variables, net, method=Generator.tail_features)
     return conv_out_s2d(feat, K6, b_s2d)

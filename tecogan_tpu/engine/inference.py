@@ -104,6 +104,7 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 sr = fused_sr_step_s2d(
                     gen_fast, {"params": params_g}, params_g, carry,
                     prev_lr, cur_lr, K6, b_s2d,
+                    unroll_streams=cfg.gather_unroll_streams,
                 )
                 return sr, sr
 
@@ -131,6 +132,7 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                     gen_fast, {"params": params_g}, params_g, prev_sr,
                     prev_lr, cur_lr, parity_half=False,
                     warp_group=cfg.warp_group,
+                    unroll_streams=cfg.gather_unroll_streams,
                 )
             else:
                 sr = sr_step(gen, params_g, prev_sr, prev_lr, cur_lr,

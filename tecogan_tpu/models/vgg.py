@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -76,19 +77,12 @@ def load_vgg_params(vgg_ckpt):
     'surrogate' (fixed-seed weights, see fixed_seed_vgg_params)."""
     if vgg_ckpt == "surrogate":
         return fixed_seed_vgg_params()
-    from ..utils.checkpoint import load_flat
+    from ..utils.checkpoint import load_flat, unflatten
 
     flat, _ = load_flat(vgg_ckpt)
-    params: dict = {}
-    for k, v in flat.items():
-        parts = k.split("//")
-        if parts[0] == "model_state_dict":
-            parts = parts[1:]
-        d = params
-        for part in parts[:-1]:
-            d = d.setdefault(part, {})
-        d[parts[-1]] = jnp.asarray(v)
-    return params
+    tree = unflatten(flat)
+    tree = tree.get("model_state_dict", tree)
+    return jax.tree.map(jnp.asarray, tree)
 
 
 def vgg19_features(

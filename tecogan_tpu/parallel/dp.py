@@ -62,10 +62,15 @@ def build_dp_multi_train_step(cfg: TecoConfig, mesh: Mesh, vgg_apply=None,
 
 
 def build_dp_inference(cfg: TecoConfig, mesh: Mesh):
-    """Data-parallel clip inference: scenes sharded over the data axis."""
+    """Data-parallel clip inference: scenes sharded over the data axis.
+
+    gather_unroll_streams is forced off: the mesh-sharded batch axis means
+    each shard already runs the fast B=1 warp-gather graph, while the
+    single-chip per-stream unroll (table[b] slices) would reference all
+    streams from every device and force cross-device movement."""
     from ..engine.inference import build_clip_inference
 
-    base_cfg = cfg.replace(jit=False)
+    base_cfg = cfg.replace(jit=False, gather_unroll_streams=False)
     infer = build_clip_inference(base_cfg)
     return jax.jit(
         infer,

@@ -91,6 +91,20 @@ def restore_into(template: Any, flat: Dict[str, np.ndarray]) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Rebuild a nested dict from ``_SEP``-joined flat keys (inverse of
+    ``_flatten`` for dict-only trees; the single owner of the flat-key
+    scheme — use this instead of hand-rolling the split)."""
+    tree: Dict[str, Any] = {}
+    for path, arr in flat.items():
+        node = tree
+        parts = path.split(_SEP)
+        for key in parts[:-1]:
+            node = node.setdefault(key, {})
+        node[parts[-1]] = arr
+    return tree
+
+
 # ---------------------------------------------------------------------------
 # TrainState-level API (generator.ckpt / discrim.ckpt pair like the
 # reference's generator.pt / discrim.pt)

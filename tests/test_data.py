@@ -239,3 +239,16 @@ def test_frame_cache_is_lossless_and_bounded(scene_root):
     for idx in range(0, 3 * WINDOWS_PER_SCENE // 2, 7):
         ds_tiny.get_clip(idx % len(ds_tiny))
     assert ds_tiny._cache_bytes <= 1 << 20
+
+
+def test_create_capture_colon_sources_dont_crash():
+    """Sources with ':' that aren't spec grammar (URLs, odd paths) must
+    reach cv2.VideoCapture / the fallback instead of raising ValueError
+    in the param parse."""
+    from tecogan_tpu.data.capture import create_capture
+
+    cap = create_capture("rtsp://nonexistent.host/stream",
+                         fallback="synth:class=chess:size=32x32")
+    assert cap is not None and cap.isOpened()
+    ok, frame = cap.read()
+    assert ok and frame.shape == (32, 32, 3)

@@ -243,20 +243,13 @@ def main(argv=None):
     import torch
 
     sys.path.insert(0, "/root/repo")
-    from tecogan_tpu.utils.checkpoint import save_pytree, load_flat
+    from tecogan_tpu.utils.checkpoint import save_pytree, load_flat, unflatten
 
     if args.reverse:
         if args.arch == "vgg19":
             ap.error("--reverse supports generator/discriminator")
         flat, meta = load_flat(args.reverse)
-        # rebuild the nested pytree from "//"-joined flat path keys
-        tree: dict = {}
-        for path, arr in flat.items():
-            node = tree
-            parts = path.split("//")
-            for key in parts[:-1]:
-                node = node.setdefault(key, {})
-            node[parts[-1]] = arr
+        tree = unflatten(flat)
         params = tree.get("model_state_dict", tree)
         if args.arch == "generator":
             sd = export_generator(params, args.num_resblock)
