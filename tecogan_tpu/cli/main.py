@@ -77,9 +77,9 @@ def run_inference(cfg: TecoConfig) -> None:
 
         warnings.warn(
             f"--data_axis {n_data} exceeds the {len(jax.devices())} visible "
-            "device(s); running sequential inference instead.", stacklevel=1
+            f"device(s); clamping to {len(jax.devices())}.", stacklevel=1
         )
-        n_data = 1
+        n_data = len(jax.devices())
     done = 0
     if n_data > 1 and len(clips) >= n_data and len(
         {c.shape for c in clips}
@@ -301,17 +301,21 @@ def run_train(cfg: TecoConfig) -> None:
             n_batches = 0
             lr_np = hr_np = gen_out = None
             g_vals, d_vals = [], []
+            trace_active = False
             for batch_idx, (lr_np, hr_np) in enumerate(batches):
-                # profiling window (SURVEY.md §5 tracing row): steps 10-15 of
-                # the first profiled epoch land in --profile_dir
+                # profiling window (SURVEY.md §5 tracing row): dispatches
+                # 10-15 of the first profiled epoch land in --profile_dir
+                # (steps 10K-15K when steps_per_dispatch K > 1)
                 if cfg.profile_dir and epoch == current_epoch and batch_idx == 10:
                     jax.profiler.start_trace(cfg.profile_dir)
+                    trace_active = True
                 state, metrics, gen_out = step_fn(
                     state, jnp.asarray(lr_np), jnp.asarray(hr_np)
                 )
-                if cfg.profile_dir and epoch == current_epoch and batch_idx == 15:
+                if trace_active and batch_idx >= 15:
                     jax.block_until_ready(state)
                     jax.profiler.stop_trace()
+                    trace_active = False
                 # Keep loss scalars ON DEVICE here: a float() per step forces a
                 # host sync that serializes the async dispatch queue (fatal
                 # over a remote-TPU link — one round-trip per step); the epoch
@@ -326,8 +330,15 @@ def run_train(cfg: TecoConfig) -> None:
                     writer.write(int(state.step), log_m, epoch=epoch)
                 if _STOP_REQUESTED:
                     break
-                if cfg.steps_per_epoch > 0 and n_batches >= cfg.steps_per_epoch:
+                if cfg.steps_per_epoch > 0 and (
+                    n_batches + k_dispatch > cfg.steps_per_epoch
+                ):
+                    # stop while still <= the cap (at K>1 the cap rounds
+                    # DOWN to a whole number of dispatches)
                     break
+            if trace_active:  # loop ended inside the profiling window
+                jax.block_until_ready(state)
+                jax.profiler.stop_trace()
             if _STOP_REQUESTED:
                 save_train_state(cfg.output_dir, jax.device_get(state), epoch,
                                  async_save=False)
@@ -335,7 +346,13 @@ def run_train(cfg: TecoConfig) -> None:
                       "steps, exiting cleanly")
                 break
             if n_batches == 0:
-                raise ValueError("empty epoch: batch_size larger than dataset?")
+                hint = (
+                    f"steps_per_dispatch={k_dispatch} exceeds the "
+                    f"{len(dataset) // max(cfg.batch_size, 1)} batches this "
+                    "dataset yields per epoch" if k_dispatch > 1
+                    else "batch_size larger than dataset?"
+                )
+                raise ValueError(f"empty epoch: {hint}")
             g_loss = float(np.mean(np.concatenate(
                 [np.atleast_1d(np.asarray(v)) for v in jax.device_get(g_vals)])))
             d_loss = float(np.mean(np.concatenate(

@@ -304,6 +304,11 @@ def create_capture(source=0, fallback: Optional[str] = DEFAULT_FALLBACK):
     try:
         params = dict(s.split("=") for s in chunks[1:])
     except ValueError:
+        if src == "synth":
+            # the user clearly meant spec grammar — surface the typo
+            # instead of silently handing back the default fallback
+            raise ValueError(f"malformed synth spec {source!r} "
+                             "(expected synth:key=value:...)") from None
         # a ':' that isn't spec grammar (rtsp://..., http://..., odd
         # paths): treat the whole string as the capture source
         src, params = source, {}
