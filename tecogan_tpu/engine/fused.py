@@ -270,38 +270,44 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
     cdt = jnp.bfloat16
     dequant = cdt(1.0 / 255.0)
 
-    def col_select(r_slot, col5):
-        """rows[..., r_slot, col5, :] with a data-dependent col5 via
-        masked sum (gather-free)."""
-        plane = rows[..., r_slot, :, :]  # (B, *S, gp1, C)
-        acc = jnp.zeros(plane.shape[:-2] + plane.shape[-1:], cdt)
-        for k in range(gp1):
-            acc = acc + plane[..., k, :].astype(cdt) * (
-                (col5 == k)[..., None].astype(cdt)
-            )
-        return acc
-
-    def tap(r, s):
-        col5 = s_in - dx + s  # true col within the packed row
-        in_row = (col5 >= 0) & (col5 <= group)
-        r_sel = r - dy
-        in_r = (r_sel >= 0) & (r_sel <= 1)
-        # select the r-plane: r_sel is 0 or 1 when in_r
-        val = jnp.where(
-            (r_sel == 0)[..., None], col_select(0, col5), col_select(1, col5)
-        )
-        keep = (v[r][s][..., 0] & in_row & in_r)[..., None]
-        return val * keep.astype(cdt) * dequant
-
-    wxc = wx.astype(cdt)
-    wyc = wy.astype(cdt)
+    # Weight-vector combine: instead of 4 taps x (gp1-way masked select x
+    # 2 r-planes) over C-wide data (~40 wide masked MACs), accumulate each
+    # tap's bilinear weight into its (r_sel, col5) slot on NARROW
+    # no-channel arrays (the 4 taps always land in 4 distinct slots), then
+    # do one wide MAC per slot: 2*gp1 wide ops total.  Same products as
+    # the tap formulation, reordered additions only.
+    wxc = wx[..., 0].astype(cdt)
+    wyc = wy[..., 0].astype(cdt)
     one = cdt(1.0)
-    out = (
-        tap(0, 0) * (one - wyc) * (one - wxc)
-        + tap(0, 1) * (one - wyc) * wxc
-        + tap(1, 0) * wyc * (one - wxc)
-        + tap(1, 1) * wyc * wxc
-    )
+    tap_w = {
+        (0, 0): (one - wyc) * (one - wxc),
+        (0, 1): (one - wyc) * wxc,
+        (1, 0): wyc * (one - wxc),
+        (1, 1): wyc * wxc,
+    }
+    tap_slot = {}
+    for r in (0, 1):
+        for s in (0, 1):
+            col5 = s_in - dx + s  # true col within the packed row
+            r_sel = r - dy
+            keep = (
+                v[r][s][..., 0]
+                & (col5 >= 0) & (col5 <= group)
+                & (r_sel >= 0) & (r_sel <= 1)
+            )
+            tap_slot[(r, s)] = (r_sel, col5, keep)
+
+    acc = None
+    for k_r in (0, 1):
+        for k_c in range(gp1):
+            wk = None
+            for (r, s), w_rs in tap_w.items():
+                r_sel, col5, keep = tap_slot[(r, s)]
+                m = (keep & (r_sel == k_r) & (col5 == k_c)).astype(cdt)
+                wk = w_rs * m if wk is None else wk + w_rs * m
+            term = rows[..., k_r, k_c, :].astype(cdt) * wk[..., None]
+            acc = term if acc is None else acc + term
+    out = acc * dequant
     return out.reshape(B, *S, C) if unroll else out
 
 
