@@ -252,3 +252,12 @@ def test_create_capture_colon_sources_dont_crash():
     assert cap is not None and cap.isOpened()
     ok, frame = cap.read()
     assert ok and frame.shape == (32, 32, 3)
+
+
+def test_create_capture_malformed_synth_spec_raises():
+    """Typo'd synth specs must surface, not silently become the default
+    fallback capture."""
+    from tecogan_tpu.data.capture import create_capture
+
+    with pytest.raises(ValueError, match="malformed synth spec"):
+        create_capture("synth:class=book:noise0.1")

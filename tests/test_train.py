@@ -307,3 +307,12 @@ def test_dp_multi_step_runs_sharded(rng):
     assert int(state.step) == 2
     assert np.all(np.isfinite(np.asarray(m_k["gen_loss"])))
     assert last_gen.shape[0] == 8
+
+
+def test_multi_step_rejects_k1_and_empty_epoch_hint():
+    """build_multi_train_step requires K>1; the CLI's empty-epoch error
+    names steps_per_dispatch when grouping is the cause."""
+    from tecogan_tpu.engine import build_multi_train_step
+
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        build_multi_train_step(tiny_cfg(steps_per_dispatch=1))
