@@ -395,7 +395,8 @@ def run_train(cfg: TecoConfig) -> None:
                 print("Saving model...")
 
             elapsed = time.time() - since
-            print(f"Training time {elapsed // 60:.0f}m {elapsed % 60:.0f}s")
+            print(f"Training time {elapsed // 60:.0f}m {elapsed % 60:.0f}s",
+                  flush=True)  # epoch summaries must survive redirected logs
         wait_for_async_save()
         writer.close()
     finally:
