@@ -314,8 +314,10 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
 def grid_sample_packed_int8_pallas(image: jnp.ndarray, grid: jnp.ndarray,
                                    group: int = 4) -> jnp.ndarray:
     """Packed-int8 warp with the tap combine as a single-pass Pallas TPU
-    kernel (ops/pallas/warp_combine.py) — bit-identical to
-    grid_sample_packed_int8.  STANDALONE it is 11x faster (375ms -> 34ms
+    kernel (ops/pallas/warp_combine.py) — equivalent to
+    grid_sample_packed_int8 within bf16 combine rounding (the XLA path
+    now uses the weight-vector formulation; the kernel keeps the original
+    tap order).  STANDALONE it is 11x faster (375ms -> 34ms
     at 1080p: XLA materializes every masked pass when unfused), but
     INSIDE the inference scan it measured 19.4 vs 29.3 fps: the
     pallas_call boundary forces the gathered rows (128MB/frame) and the
