@@ -270,7 +270,8 @@ def run_train(cfg: TecoConfig) -> None:
             state = set_epoch(state, epoch)
             g_loss = d_loss = 0.0
             raw_batches = dataset.batches(
-                cfg.batch_size, shuffle=True, seed=cfg.rand_seed + epoch
+                cfg.batch_size, shuffle=True, seed=cfg.rand_seed + epoch,
+                workers=cfg.queue_thread,
             )
             epoch_sharding = sharding
             if k_dispatch > 1:

@@ -1,8 +1,10 @@
 """Background host->device prefetch.
 
 The reference parsed ``--queue_thread`` but never wired it into its
-DataLoader (main.py:73,227 — 0 workers).  Here the flag is real: a
-thread pool decodes/augments batches ahead of the training step, and a
+DataLoader (main.py:73,227 — 0 workers).  Here the flag is real twice
+over: ``TrainDataset.batches(workers=N)`` decodes/augments each batch's
+clips on an N-thread pool (data/scenes.py), this module runs the whole
+producer ahead of the training step behind a bounded queue, and a
 double-buffered ``jax.device_put`` pipeline keeps the TPU fed while the
 host prepares the next batch (SURVEY.md §2.2 async-data-loading row).
 """

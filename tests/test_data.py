@@ -261,3 +261,17 @@ def test_create_capture_malformed_synth_spec_raises():
 
     with pytest.raises(ValueError, match="malformed synth spec"):
         create_capture("synth:class=book:noise0.1")
+
+
+def test_batches_workers_parallel_matches_serial(scene_root):
+    """workers>1 must yield the same batches as the serial path (clip
+    augmentation RNG is position-derived, not thread-scheduling-derived)."""
+    cfg = make_cfg(scene_root)
+    ds_a = TrainDataset(cfg)
+    ds_b = TrainDataset(cfg)
+    serial = list(ds_a.batches(2, shuffle=True, seed=5, workers=0))
+    threaded = list(ds_b.batches(2, shuffle=True, seed=5, workers=4))
+    assert len(serial) == len(threaded) > 0
+    for (la, ha), (lb, hb) in zip(serial, threaded):
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(ha, hb)
