@@ -96,6 +96,15 @@ def main(argv=None):
     p.add_argument("--num_resblock", type=int, default=16)
     p.add_argument("--limit_frames", type=int, default=-1)
     p.add_argument("--limit_clips", type=int, default=-1)
+    p.add_argument("--degradation", choices=["bilinear", "area"],
+                   default="bilinear",
+                   help="LR-generation kernel for model eval. Default "
+                        "bilinear matches the TRAINING pairing "
+                        "(data/scenes.py; reference dataloader.py:86-95 "
+                        "uses torchvision bilinear) so held-out scores "
+                        "measure the trained degradation, not a kernel "
+                        "mismatch. 'area' (INTER_AREA) kept for "
+                        "comparability with pre-r3 eval artifacts.")
     p.add_argument("--vgg_ckpt", default=None,
                    help="converted VGG-19 .ckpt, or 'surrogate' for "
                         "fixed-seed random-feature weights")
@@ -140,15 +149,22 @@ def main(argv=None):
         import jax.numpy as jnp
 
         from ..config import TecoConfig
-        from ..engine import init_state, build_clip_inference
+        from ..engine import build_clip_inference
+        from ..engine.state import model_defs
         from ..utils.checkpoint import load_generator_params
 
         cfg = TecoConfig(
             crop_size=args.crop_size, num_resblock=args.num_resblock,
             bug_parity=args.bug_parity,
         )
-        state = init_state(cfg.replace(crop_size=8), jax.random.PRNGKey(0))
-        params_g = load_generator_params(args.g_checkpoint, state.params_g)
+        # only a generator params TEMPLATE is needed to type the load —
+        # init the generator alone, not a full TrainState (no D, no
+        # optimizer states) at inference time
+        gen, _ = model_defs(cfg)
+        template = gen.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 51), jnp.float32)
+        )["params"]
+        params_g = load_generator_params(args.g_checkpoint, template)
         infer = build_clip_inference(cfg)
 
         clips = sorted(os.listdir(args.input_dir_HR))
@@ -159,10 +175,16 @@ def main(argv=None):
             if args.limit_frames > 0:
                 hr = hr[: args.limit_frames]
             hr_size = args.crop_size * 4
-            hr = np.stack([cv2.resize(f, (hr_size, hr_size)) for f in hr])
+            interp = (cv2.INTER_LINEAR if args.degradation == "bilinear"
+                      else cv2.INTER_AREA)
+            src = hr  # original decoded frames
+            # LR and HR each resize the SOURCE frame independently — the
+            # training pairing (data/scenes.py; dataloader.py:86-95), not
+            # LR-from-HR re-degradation
+            hr = np.stack([cv2.resize(f, (hr_size, hr_size)) for f in src])
             lr = np.stack(
                 [cv2.resize(f, (args.crop_size, args.crop_size),
-                            interpolation=cv2.INTER_AREA) for f in hr]
+                            interpolation=interp) for f in src]
             )
             sr = np.asarray(infer(params_g, jnp.asarray(lr)[None])[0])
             rec = {"clip": name, **score_pair(sr, hr, vgg_params, lpips_lin)}

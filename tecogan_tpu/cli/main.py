@@ -34,9 +34,9 @@ def run_inference(cfg: TecoConfig) -> None:
     import jax.numpy as jnp
 
     from ..data import InferenceDataset, load_video_frames
-    from ..engine import build_clip_inference, init_state
+    from ..engine import build_clip_inference, build_chunked_inference, init_state
     from ..utils.checkpoint import load_generator_params
-    from ..ops import save_as_media
+    from ..ops import save_as_media, MediaWriter
 
     if cfg.g_checkpoint is None:
         raise ValueError("The checkpoint file is needed to perform the test")
@@ -103,9 +103,42 @@ def run_inference(cfg: TecoConfig) -> None:
                            n_batched=n_data)
             done += n_data
 
+    # Long clips stream through fixed windows with the recurrent state
+    # carried on device (O(chunk) memory both sides; the one-shot path
+    # would materialize T x 4H x 4W x 3 f32 on device — ~23 GB for a
+    # 1000-frame 1080p video).  infer_chunk: 0 = auto, -1 = never,
+    # >0 = explicit window size.
+    def _chunk_for(clip):
+        if cfg.infer_chunk < 0:
+            return 0
+        if cfg.infer_chunk > 0:
+            return cfg.infer_chunk
+        T, H, W = clip.shape[:3]
+        full_bytes = T * (4 * H) * (4 * W) * 3 * 4
+        return 64 if full_bytes > (2 << 30) else 0
+
+    chunked = None
     for idx in range(done, len(clips)):
         clip = clips[idx]
+        chunk = _chunk_for(clip)
         t0 = time.time()
+        if chunk:
+            if chunked is None:
+                chunked = build_chunked_inference(cfg)
+            out = os.path.join(
+                cfg.output_dir, f"{cfg.output_name}{idx}{cfg.videotype}"
+            )
+            with MediaWriter(out) as w:
+                chunked(params_g, clip[None], chunk=chunk,
+                        sink=lambda sr: w.append(sr[0]))
+            dt = time.time() - t0
+            print(
+                f"clip {idx}: {clip.shape[0]} frames "
+                f"{clip.shape[1]}x{clip.shape[2]} -> 4x STREAMED "
+                f"(window {chunk}) in {dt:.2f}s "
+                f"({clip.shape[0] / dt:.1f} fps) -> {out}"
+            )
+            continue
         sr = infer(params_g, jnp.asarray(clip)[None])
         sr.block_until_ready()
         dt = time.time() - t0
@@ -148,7 +181,10 @@ def run_train(cfg: TecoConfig) -> None:
     dataset = TrainDataset(cfg)
     if len(dataset) == 0:
         raise ValueError("no eligible scenes found under input_video_dir")
-    print(f"dataset: {len(dataset.scenes)} scenes, {len(dataset)} windows")
+    print(f"dataset: {len(dataset.scenes)} scenes, "
+          f"{len(dataset)} samples/epoch"
+          + (" (bug_parity sampling: scene-count __len__, "
+             "dataloader.py:78-79)" if cfg.bug_parity else ""))
 
     # VGG perceptual loss (off unless vgg_scaling > 0; the reference's
     # --vgg_ckpt was parsed but never loaded, main.py:69)
@@ -174,8 +210,26 @@ def run_train(cfg: TecoConfig) -> None:
 
     devices = jax.devices()
     n_data = cfg.data_axis if cfg.data_axis > 0 else len(devices)
+    if n_data > len(devices):
+        import warnings
+
+        warnings.warn(
+            f"--data_axis {n_data} exceeds the {len(devices)} visible "
+            f"device(s); clamping to {len(devices)}.", stacklevel=1
+        )
+        n_data = len(devices)
     use_dp = n_data > 1 and cfg.batch_size % n_data == 0
     k_dispatch = max(1, cfg.steps_per_dispatch)
+    if cfg.steps_per_epoch > 0 and k_dispatch > cfg.steps_per_epoch:
+        import warnings
+
+        warnings.warn(
+            f"--steps_per_dispatch {k_dispatch} exceeds --steps_per_epoch "
+            f"{cfg.steps_per_epoch}; clamping to the epoch cap so the first "
+            "dispatch cannot overrun it.", stacklevel=1
+        )
+        k_dispatch = cfg.steps_per_epoch
+        cfg = cfg.replace(steps_per_dispatch=k_dispatch)
     sharding = None
     if use_dp:
         mesh = make_mesh(n_data)

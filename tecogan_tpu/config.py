@@ -125,6 +125,9 @@ class TecoConfig:
     steps_per_dispatch: int = 1  # train steps scanned inside one dispatch
     # (>1 only helps on dispatch-bound links — measured SLOWER on the
     # v5e remote setup; see DESIGN.md dispatch-granularity A/B)
+    infer_chunk: int = 0  # streaming inference window: 0 auto (engage on
+    # clips whose SR output exceeds ~2 GB), -1 one-shot always, >0 fixed
+    # window size (device + host memory O(window), any clip length)
     profile_dir: str = ""  # capture a jax.profiler trace of steps 10-15
     auto_resume: bool = False  # resume from output_dir checkpoints if present
     async_checkpoint: bool = True  # serialize checkpoints off the train loop
@@ -225,6 +228,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", default=d.checkpoint_every, type=int)
     p.add_argument("--steps_per_epoch", default=d.steps_per_epoch, type=int)
     p.add_argument("--steps_per_dispatch", default=d.steps_per_dispatch, type=int)
+    p.add_argument("--infer_chunk", default=d.infer_chunk, type=int)
     p.add_argument("--profile_dir", default=d.profile_dir)
     p.add_argument("--validate_every", default=d.validate_every, type=int)
     p.add_argument("--auto_resume", default=d.auto_resume, type=str2bool)

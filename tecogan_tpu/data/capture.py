@@ -23,6 +23,7 @@ Capability-parity notes vs the reference:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -301,17 +302,25 @@ def create_capture(source=0, fallback: Optional[str] = DEFAULT_FALLBACK):
         src = int(src)
     except ValueError:
         pass
-    try:
-        params = dict(s.split("=") for s in chunks[1:])
-    except ValueError:
-        if src == "synth":
-            # the user clearly meant spec grammar — surface the typo
-            # instead of silently handing back the default fallback
-            raise ValueError(f"malformed synth spec {source!r} "
-                             "(expected synth:key=value:...)") from None
-        # a ':' that isn't spec grammar (rtsp://..., http://..., odd
-        # paths): treat the whole string as the capture source
+    # Spec-grammar params (key=value chunks) are only meaningful for a
+    # synth spec, a camera index, or a local file — for anything else
+    # (rtsp://host/live?token=abc, http URLs) a chunk can contain '=' by
+    # coincidence, so the whole string is the capture source.
+    spec_like = (
+        src == "synth" or isinstance(src, int) or os.path.exists(chunks[0])
+    )
+    if not spec_like:
         src, params = source, {}
+    else:
+        try:
+            params = dict(s.split("=") for s in chunks[1:])
+        except ValueError:
+            if src == "synth":
+                # the user clearly meant spec grammar — surface the typo
+                # instead of silently handing back the default fallback
+                raise ValueError(f"malformed synth spec {source!r} "
+                                 "(expected synth:key=value:...)") from None
+            src, params = source, {}
 
     cap = None
     if src == "synth":

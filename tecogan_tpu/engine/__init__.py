@@ -2,6 +2,7 @@ from .state import TrainState, init_state, make_optimizers, model_defs, lr_sched
 from .train import build_train_step, build_multi_train_step, set_epoch
 from .inference import (
     build_clip_inference,
+    build_chunked_inference,
     build_stream_inference,
     sr_step,
     first_frame,
@@ -11,6 +12,7 @@ from .inference import (
 __all__ = [
     "TrainState", "init_state", "make_optimizers", "model_defs", "lr_schedule",
     "build_train_step", "build_multi_train_step", "set_epoch",
-    "build_clip_inference", "build_stream_inference", "sr_step", "first_frame",
+    "build_clip_inference", "build_chunked_inference",
+    "build_stream_inference", "sr_step", "first_frame",
     "StreamState",
 ]

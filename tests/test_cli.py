@@ -108,6 +108,10 @@ FAST_FLAGS = [
     "--discrim_resblocks", "1", "--discrim_channels", "16",
     "--precision", "fp32", "--batch_size", "2", "--queue_thread", "2",
     "--steps_per_epoch", "3",
+    # fixed-mode sampling: bug_parity's reference-exact sampling draws
+    # only the first num_scenes windows (dataloader.py:78-79), too few
+    # for a 1-scene fixture with multi-step epochs
+    "--bug_parity", "False",
 ]
 
 

@@ -30,7 +30,8 @@ def scene_root(tmp_path_factory):
 def make_cfg(root, **kw):
     base = dict(
         input_video_dir=root, str_dir=1000, end_dir=1001, crop_size=8,
-        RNN_N=9,
+        RNN_N=9, bug_parity=False,  # fixed-mode pipeline unless a test
+        # opts into the reference's sampling quirks
     )
     base.update(kw)
     return TecoConfig(**base)
@@ -48,6 +49,54 @@ def test_train_dataset_window_count(scene_root):
     """__len__ must count windows (110 per scene), fixing SURVEY §5.1.4."""
     ds = TrainDataset(make_cfg(scene_root))
     assert len(ds) == 2 * WINDOWS_PER_SCENE
+
+
+def test_bug_parity_len_is_scene_count(scene_root):
+    """Reference __len__ returns the SCENE count (dataloader.py:62-65,
+    78-79), so only the first num_scenes windows are ever drawn — all of
+    them windows of scene 0 here (flat list order, 110 per scene)."""
+    ds = TrainDataset(make_cfg(scene_root, bug_parity=True))
+    assert len(ds) == 2
+    # the two reachable samples are scene 0's windows 0 and 1
+    assert ds.windows[0] == (0, 0)
+    assert ds.windows[1] == (0, 1)
+    # one epoch draws exactly those indices, partial batch kept
+    # (DataLoader drop_last=False default)
+    batches = list(ds.batches(batch_size=4, shuffle=True, seed=0))
+    assert len(batches) == 1
+    assert batches[0][0].shape[0] == 2
+
+
+def test_bug_parity_frame0_misaligned(scene_root):
+    """Reference frame-0 quirk (dataloader.py:71-72,91-93): frames 1..N
+    are the full source frame resized; frame 0 alone goes through an
+    INDEPENDENT RandomResizedCrop for LR and HR."""
+    from tecogan_tpu.data.scenes import _resize_bilinear
+
+    cfg = make_cfg(scene_root, bug_parity=True)
+    ds = TrainDataset(cfg)
+    rng = np.random.default_rng(7)
+    lr, hr = ds.get_clip(0, rng)
+    # frames 1+ equal the plain full-frame resize
+    src1 = ds._frame(ds.scenes[0][1])
+    np.testing.assert_allclose(
+        hr[1], _resize_bilinear(src1, 32, 32).transpose(2, 0, 1), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        lr[1], _resize_bilinear(src1, 8, 8).transpose(2, 0, 1), atol=1e-6
+    )
+    # frame 0 is cropped — misaligned vs the plain resize...
+    src0 = ds._frame(ds.scenes[0][0])
+    plain_hr0 = _resize_bilinear(src0, 32, 32).transpose(2, 0, 1)
+    plain_lr0 = _resize_bilinear(src0, 8, 8).transpose(2, 0, 1)
+    assert np.abs(hr[0] - plain_hr0).mean() > 1e-4
+    assert np.abs(lr[0] - plain_lr0).mean() > 1e-4
+    # ...and LR/HR frame 0 are misaligned against each other (independent
+    # crops): downscaling HR frame 0 does NOT reproduce LR frame 0
+    hr0_down = _resize_bilinear(
+        np.ascontiguousarray(hr[0].transpose(1, 2, 0)), 8, 8
+    ).transpose(2, 0, 1)
+    assert np.abs(hr0_down - lr[0]).mean() > 1e-3
 
 
 def test_clip_shapes_and_pairing(scene_root):

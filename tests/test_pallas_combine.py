@@ -44,7 +44,7 @@ def test_warp_combine_matches_xla_combine(rng):
 
 
 def test_pallas_sampler_equals_xla_sampler(rng):
-    from tecogan_tpu.engine.fused import grid_sample_packed_int8_pallas
+    from tecogan_tpu.engine.attic import grid_sample_packed_int8_pallas
 
     img = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
     grid = jnp.asarray((rng.random((2, 12, 8, 2)) * 4 - 2).astype(np.float32))
