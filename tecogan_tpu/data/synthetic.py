@@ -134,6 +134,7 @@ def write_synthetic_scene_folders(
     start_index: int = 1000,
     prefix: str = "scene",
     variety: bool = False,
+    seed_offset: int = 0,
 ) -> None:
     """Materialize scene folders in the reference's on-disk layout
     (``scene_%04d/col_high_%04d.png``: dataprepare.py:148,
@@ -142,7 +143,11 @@ def write_synthetic_scene_folders(
 
     variety=True rotates through the full fixture zoo (moving-rect,
     drifting checkerboard, and the 3-D Chess/Book/Cube captures) so
-    quality runs see varied texture/motion instead of one scene family."""
+    quality runs see varied texture/motion instead of one scene family.
+
+    seed_offset shifts both the maker rotation and the per-scene seed —
+    callers generating a large dataset in parallel chunks pass the chunk
+    base so chunks don't repeat each other's scenes."""
     import os
 
     import imageio
@@ -156,8 +161,9 @@ def write_synthetic_scene_folders(
             lambda s: _capture_scene("cube", frames_per_scene, size, s),
         ]
 
-    for s in range(num_scenes):
-        d = os.path.join(root, f"{prefix}_{start_index + s:04d}")
+    for s0 in range(num_scenes):
+        s = s0 + seed_offset
+        d = os.path.join(root, f"{prefix}_{start_index + s0:04d}")
         os.makedirs(d, exist_ok=True)
         clip = makers[s % len(makers)](s)
         for t in range(frames_per_scene):

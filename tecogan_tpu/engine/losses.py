@@ -141,7 +141,13 @@ def generator_unroll(
         return sr, sr
 
     step = jax.checkpoint(step_fn) if cfg.remat else step_fn
-    _, sr_rest = jax.lax.scan(step, sr0, (frames_t, grids_t))
+    # XLA CPU executes ops inside while-loop bodies without intra-op
+    # parallelism/fast-path convs: the BACKWARD of this scan measured
+    # ~190 s/step at reference shapes vs ~4 s fully unrolled (the forward
+    # is unaffected).  TPU keeps the rolled loop — unrolling only bloats
+    # its compile.  Trace-time backend check; both forms are identical math.
+    unroll = True if jax.default_backend() == "cpu" else 1
+    _, sr_rest = jax.lax.scan(step, sr0, (frames_t, grids_t), unroll=unroll)
 
     gen_outputs = jnp.concatenate(
         [sr0[:, None], jnp.moveaxis(sr_rest, 0, 1)], axis=1

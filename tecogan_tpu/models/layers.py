@@ -77,14 +77,76 @@ class Conv(nn.Module):
         return y
 
 
+def _convt2x_dilated(x, kernel):
+    """The lhs-dilated lowering of ConvTranspose2d(k3, s2, p1, op1)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1, 1),
+        padding=((1, 2), (1, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _convt2x_phases(x, kernel):
+    """The same operator as four stride-1 phase convs + 2x2 interleave
+    (derivation in engine/attic.py phase_conv_transpose_2x):
+      y[2t]   = x_t * K[1]            (even phase)
+      y[2t+1] = x_t * K[0] + x_{t+1} * K[2]   (odd phase)
+    Mathematically identical to _convt2x_dilated (equivalence-tested)."""
+    B, H, W, C = x.shape
+    O = kernel.shape[-1]
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(inp, ker, pad):
+        return jax.lax.conv_general_dilated(inp, ker, (1, 1), padding=pad,
+                                            dimension_numbers=dn)
+
+    k = kernel
+    p_ee = conv(x, k[1:2, 1:2], ((0, 0), (0, 0)))
+    p_eo = conv(x, k[1:2, 0:3:2], ((0, 0), (0, 1)))
+    p_oe = conv(x, k[0:3:2, 1:2], ((0, 1), (0, 0)))
+    p_oo = conv(x, k[0:3:2, 0:3:2], ((0, 1), (0, 1)))
+    phases = jnp.stack([p_ee, p_eo, p_oe, p_oo], axis=3)  # (B,H,W,4,O)
+    y = phases.reshape(B, H, W, 2, 2, O)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, O)
+    return y
+
+
+@jax.custom_vjp
+def conv_transpose_2x_op(x, kernel):
+    return _convt2x_dilated(x, kernel)
+
+
+def _convt2x_fwd(x, kernel):
+    return _convt2x_dilated(x, kernel), (x, kernel)
+
+
+def _convt2x_bwd(res, dy):
+    # Differentiate through the PHASE decomposition: its VJP is built from
+    # plain stride-1 convs with tiny kernels.  XLA CPU lowers the dilated
+    # form's kernel-gradient to a naive window-dilated loop (~3 s per call
+    # at 64x64x128 — 50x the whole rest of the step), which made CPU
+    # training/tests pathologically slow; TPU keeps the dilated forward.
+    x, kernel = res
+    _, vjp = jax.vjp(_convt2x_phases, x, kernel)
+    return vjp(dy)
+
+
+conv_transpose_2x_op.defvjp(_convt2x_fwd, _convt2x_bwd)
+
+
 class ConvTranspose2x(nn.Module):
     """ConvTranspose2d(k=3, s=2, p=1, output_padding=1): exact 2x upsample
     (reference conv2_tran, ops.py:45-54; used at models.py:72-75).
 
     Implemented as an input-dilated conv: lhs_dilation=2 with asymmetric
-    padding (1, 2), which XLA maps onto the MXU directly.  Kernel is stored
-    HWIO in the *forward conv* orientation; the torch-checkpoint converter
-    (tools/convert_torch_ckpt.py) performs the spatial flip + I/O transpose.
+    padding (1, 2), which XLA maps onto the MXU directly.  The backward
+    pass uses a custom VJP through the equivalent phase decomposition
+    (see conv_transpose_2x_op).  Kernel is stored HWIO in the *forward
+    conv* orientation; the torch-checkpoint converter
+    (tools/convert_torch_ckpt.py) performs the spatial flip + I/O
+    transpose.
     """
 
     features: int
@@ -97,13 +159,8 @@ class ConvTranspose2x(nn.Module):
         kernel = self.param(
             "kernel", torch_conv_kernel_init, (3, 3, in_ch, self.features)
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=((1, 2), (1, 2)),
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        y = conv_transpose_2x_op(
+            x.astype(self.dtype), kernel.astype(self.dtype)
         )
         if self.use_bias:
             bias = self.param("bias", torch_bias_init_for(9 * in_ch), (self.features,))

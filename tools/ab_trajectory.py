@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""CPU A/B training run: the ACTUAL reference stack (torch, via
+tests/_refbridge) vs ours, same weights, same batch sequence, ~100+
+steps — the loss-curve half of trained-trajectory parity (VERDICT r2
+next-round #1b; the per-step assertion lives in
+tests/test_reference_parity.py::test_train_trajectory_parity_vs_reference).
+
+Both stacks start from one torch init (converted through
+tools/convert_torch_ckpt.py), consume identical synthetic batches in
+bug_parity mode, and are scored at the end on a held-out synthetic clip
+(PSNR of each stack's own generator).  Writes eval/ab_trajectory_r3.json
+with the per-step gen/D loss curves and final metrics.
+
+Usage:  python tools/ab_trajectory.py [--steps 100] [--out FILE]
+(CPU-only; ~10 s/step of which ~8 s is the torch reference.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import numpy as np
+
+
+def args_ns(cfg):
+    return types.SimpleNamespace(
+        num_resblock=cfg.num_resblock, discrim_resblocks=cfg.discrim_resblocks,
+        discrim_channels=cfg.discrim_channels, crop_size=cfg.crop_size,
+        RNN_N=cfg.RNN_N, learning_rate=cfg.learning_rate,
+        pingpang=cfg.pingpang, pp_scaling=cfg.pp_scaling,
+        vgg_scaling=cfg.vgg_scaling, ratio=cfg.ratio, EPS=cfg.EPS,
+        Dt_ratio_0=cfg.Dt_ratio_0, Dt_ratio_add=cfg.Dt_ratio_add,
+        Dt_ratio_max=cfg.Dt_ratio_max, crop_dt=cfg.crop_dt,
+        Dt_mergeDs=cfg.Dt_mergeDs, D_LAYERLOSS=cfg.D_LAYERLOSS,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--num_resblock", type=int, default=2)
+    p.add_argument("--out", default="eval/ab_trajectory_r3.json")
+    args = p.parse_args(argv)
+
+    import torch
+    import jax.numpy as jnp
+
+    from _refbridge import load_reference, half_as_f32_roundtrip
+    from convert_torch_ckpt import convert_generator, convert_discriminator
+    from tecogan_tpu.config import TecoConfig
+    from tecogan_tpu.data.synthetic import synthetic_scene_batch
+    from tecogan_tpu.engine import build_train_step, build_clip_inference
+    from tecogan_tpu.engine.state import TrainState, make_optimizers
+    from tecogan_tpu.ops.metrics import psnr
+
+    ref_models, ref_train, _ = load_reference()
+    cfg = TecoConfig(
+        num_resblock=args.num_resblock, discrim_resblocks=1,
+        discrim_channels=16, crop_size=32, RNN_N=10, precision="fp32",
+        bug_parity=True, batch_size=1,
+    )
+    ns = args_ns(cfg)
+    torch.manual_seed(0)
+    tg = ref_models.generator(3, args=ns).train()
+    td = ref_models.discriminator(args=ns).train()
+
+    to_j = lambda t: jax.tree.map(jnp.asarray, t)
+    params_g = to_j(convert_generator(tg.state_dict(), cfg.num_resblock))
+    pd, sd = convert_discriminator(td.state_dict(), cfg.discrim_resblocks)
+    params_d, stats_d = to_j(pd), to_j(sd)
+
+    # identical batch sequence: real scene-like synthetic clips
+    rng = np.random.default_rng(0)
+    lr_all, hr_all = synthetic_scene_batch(
+        args.steps, cfg.RNN_N, cfg.crop_size, seed=1
+    )  # (N, T, 3, c, c), (N, T, 3, 4c, 4c)
+    lr_all = lr_all.astype(np.float32)
+    hr_all = hr_all.astype(np.float32)
+
+    # --- torch trajectory (Adam built per main.py:239-248)
+    opt_g = torch.optim.Adam(tg.parameters(), lr=cfg.learning_rate,
+                             betas=(cfg.beta, 0.999), eps=cfg.adameps)
+    opt_d = torch.optim.Adam(td.parameters(), lr=cfg.learning_rate,
+                             betas=(cfg.beta, 0.999), eps=cfg.adameps)
+    ref_curve = []
+    t0 = time.time()
+    with half_as_f32_roundtrip():
+        for i in range(args.steps):
+            net = ref_train.TecoGAN(
+                torch.from_numpy(lr_all[i : i + 1]),
+                torch.from_numpy(hr_all[i : i + 1]),
+                td, tg, ns, i, 0.0, 0.0, opt_g, opt_d,
+            )
+            ref_curve.append((float(net.gen_loss), float(net.d_loss)))
+            if i % 10 == 0:
+                print(f"ref step {i}: gen {ref_curve[-1][0]:.4f} "
+                      f"d {ref_curve[-1][1]:.4f} "
+                      f"({(time.time()-t0)/(i+1):.1f} s/step)", flush=True)
+
+    # --- our trajectory (same converted start, fresh optax Adam)
+    opt_g_tx, opt_d_tx, _ = make_optimizers(cfg)
+    state = TrainState(
+        params_g=params_g, params_d=params_d, batch_stats_d=stats_d,
+        opt_g=opt_g_tx.init(params_g), opt_d=opt_d_tx.init(params_d),
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+    )
+    step_fn = build_train_step(cfg, donate=False)
+    our_curve = []
+    for i in range(args.steps):
+        state, metrics, _ = step_fn(
+            state, jnp.asarray(lr_all[i : i + 1]), jnp.asarray(hr_all[i : i + 1])
+        )
+        our_curve.append((float(metrics["gen_loss"]), float(metrics["d_loss"])))
+        if i % 10 == 0:
+            print(f"our step {i}: gen {our_curve[-1][0]:.4f} "
+                  f"d {our_curve[-1][1]:.4f}", flush=True)
+
+    # --- held-out eval: both final generators on unseen clips
+    lr_ev, hr_ev = synthetic_scene_batch(4, cfg.RNN_N, cfg.crop_size, seed=999)
+    lr_ev, hr_ev = lr_ev.astype(np.float32), hr_ev.astype(np.float32)
+
+    infer = build_clip_inference(cfg)
+    ours_sr = np.asarray(
+        infer(state.params_g, jnp.transpose(jnp.asarray(lr_ev), (0, 1, 3, 4, 2)))
+    )
+    our_psnr = float(psnr(jnp.transpose(jnp.asarray(hr_ev), (0, 1, 3, 4, 2)),
+                          jnp.asarray(ours_sr)))
+
+    # reference generator through ITS inference recurrence (torch replay)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from test_reference_parity import _torch_inference_replay
+
+    tg.eval()
+    ref_srs = []
+    _, _, ref_ops = load_reference()
+    for b in range(lr_ev.shape[0]):
+        ref_srs.append(_torch_inference_replay(
+            ref_models, ref_ops, tg,
+            torch.from_numpy(lr_ev[b : b + 1]), cfg.crop_size,
+        ).numpy())
+    ref_sr = np.concatenate(ref_srs)
+    ref_psnr = float(psnr(jnp.asarray(hr_ev), jnp.asarray(ref_sr)))
+
+    # curve agreement
+    rg = np.array([c[0] for c in ref_curve])
+    og = np.array([c[0] for c in our_curve])
+    rd = np.array([c[1] for c in ref_curve])
+    od = np.array([c[1] for c in our_curve])
+    out = {
+        "steps": args.steps,
+        "gen_loss_curve_ref": rg.round(6).tolist(),
+        "gen_loss_curve_ours": og.round(6).tolist(),
+        "d_loss_curve_ref": rd.round(6).tolist(),
+        "d_loss_curve_ours": od.round(6).tolist(),
+        "gen_curve_max_rel_err": float(np.max(np.abs(og - rg) / (np.abs(rg) + 1e-6))),
+        "d_curve_max_rel_err": float(np.max(np.abs(od - rd) / (np.abs(rd) + 1e-6))),
+        "final_heldout_psnr_ref_db": ref_psnr,
+        "final_heldout_psnr_ours_db": our_psnr,
+        "psnr_gap_db": abs(our_psnr - ref_psnr),
+        "config": "crop 32, RNN_N 10, B 1, bug_parity, fp32, Adam 1e-4 both",
+    }
+    print(json.dumps({k: v for k, v in out.items() if "curve_" not in k or
+                      k.endswith("err")}, indent=1))
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
