@@ -88,8 +88,11 @@ def main(argv=None):
     lr_all, hr_all = synthetic_scene_batch(
         args.steps, cfg.RNN_N, cfg.crop_size, seed=1
     )  # (N, T, 3, c, c), (N, T, 3, 4c, 4c)
-    lr_all = lr_all.astype(np.float32)
-    hr_all = hr_all.astype(np.float32)
+    # C-contiguous is load-bearing: the reference's raw .view() reshapes
+    # (train.py:96) reject strided tensors, and synthetic_scene_batch
+    # returns transposed views (astype keeps order='K')
+    lr_all = np.ascontiguousarray(lr_all, dtype=np.float32)
+    hr_all = np.ascontiguousarray(hr_all, dtype=np.float32)
 
     # --- torch trajectory (Adam built per main.py:239-248)
     opt_g = torch.optim.Adam(tg.parameters(), lr=cfg.learning_rate,
@@ -131,7 +134,8 @@ def main(argv=None):
 
     # --- held-out eval: both final generators on unseen clips
     lr_ev, hr_ev = synthetic_scene_batch(4, cfg.RNN_N, cfg.crop_size, seed=999)
-    lr_ev, hr_ev = lr_ev.astype(np.float32), hr_ev.astype(np.float32)
+    lr_ev = np.ascontiguousarray(lr_ev, dtype=np.float32)
+    hr_ev = np.ascontiguousarray(hr_ev, dtype=np.float32)
 
     infer = build_clip_inference(cfg)
     ours_sr = np.asarray(

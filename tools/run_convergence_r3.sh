@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-3 BASELINE-scale convergence run (VERDICT r2 next-round #7).
+#
+# Dataset: 408 synthetic variety training scenes (1000-1407) + 12
+# validation scenes (1408-1419) + 3 held-out eval scenes (2100-2102),
+# 120 frames each at 144x144 — generated with
+# tecogan_tpu.data.synthetic.write_synthetic_scene_folders(variety=True,
+# seed_offset=...) (UCF101 itself is not downloadable here: zero egress).
+#
+# Config: the reference's training shape (crop 32->128, RNN 10, batch 4,
+# Adam 1e-4, StepLR 250/0.8) with the FULL loss stack enabled — fixed
+# mode (bug_parity False: gradients actually flow through the
+# adversarial + feature-matching terms), ping-pong, VGG-surrogate
+# perceptual. steps_per_epoch caps an epoch at 150 steps so epoch
+# granularity matches the reference's (408-sample epochs ~= 102 steps).
+#
+# Resume-safe: per-2-epoch checkpoints + --auto_resume; SIGTERM
+# checkpoints and exits cleanly.
+DATA=${DATA:-/root/data_r3/scenes}
+OUT=${OUT:-/root/data_r3/run1}
+exec python -u main.py \
+  --mode train \
+  --input_video_dir "$DATA" \
+  --str_dir 1000 --end_dir 1407 --end_dir_val 1419 \
+  --batch_size 4 --crop_size 32 --RNN_N 10 \
+  --num_resblock 16 --discrim_resblocks 4 --discrim_channels 128 \
+  --precision bf16 --bug_parity False \
+  --pingpang True --vgg_scaling 0.2 --vgg_ckpt surrogate \
+  --max_epochs ${MAX_EPOCHS:-400} --steps_per_epoch 150 \
+  --checkpoint_every 2 --validate_every 4 \
+  --auto_resume True --queue_thread 6 \
+  --log_every 50 \
+  --output_dir "$OUT" --summary_dir "$OUT/summary"
