@@ -28,6 +28,10 @@ from ..models.generator import Generator
 from ..ops.image import deprocess, nhwc_to_nchw
 from ..ops.resize import upscale_four
 
+# All warp gathers run with explicitly clamped indices; telling XLA so
+# removes the default fill-mode's select_n + OOB broadcast from the loop.
+_IN_BOUNDS = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
+
 
 def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(B, R, L) table + (B, M) row indices -> (B, M, L) rows.
@@ -40,10 +44,18 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     single-stream per-frame cost, see DESIGN.md)."""
     B, R, L = table.shape
     if B == 1:
-        return jnp.take_along_axis(table, idx[..., None], axis=1)
+        # indices are clamped in-bounds by every caller; the default
+        # gather mode ('fill') materializes a select_n + OOB broadcast
+        # (~1.8 ms/frame at 1080p in the trace) that promise_in_bounds
+        # removes.
+        return jnp.take_along_axis(
+            table, idx[..., None], axis=1, mode=_IN_BOUNDS
+        )
     base = (jnp.arange(B, dtype=idx.dtype) * R)[:, None]
     flat = (idx + base).reshape(-1)
-    rows = jnp.take(table.reshape(B * R, L), flat, axis=0)
+    rows = jnp.take_along_axis(
+        table.reshape(B * R, L), flat[:, None], axis=0, mode=_IN_BOUNDS
+    )
     return rows.reshape(B, idx.shape[1], L)
 
 
@@ -247,7 +259,9 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
     cols = W // group
     idx = yb * cols + q  # row within each stream's table
     if not unroll:
-        rows = jnp.take_along_axis(table, idx.reshape(B, -1)[..., None], axis=1)
+        rows = jnp.take_along_axis(
+            table, idx.reshape(B, -1)[..., None], axis=1, mode=_IN_BOUNDS
+        )
         rows = rows[..., : 2 * gp1 * C]  # drop lane padding
         rows = rows.reshape(B, *S, 2, gp1, C)  # uint8
     else:
@@ -258,7 +272,8 @@ def _packed_gather_combine(table: jnp.ndarray, ix: jnp.ndarray,
         # operand small; the elementwise combine stays batched-flat.
         M = ix.shape[0] // B
         rows = jnp.concatenate(
-            [jnp.take(table[b], idx[b * M : (b + 1) * M], axis=0)
+            [jnp.take_along_axis(table[b], idx[b * M : (b + 1) * M][:, None],
+                                 axis=0, mode=_IN_BOUNDS)
              for b in range(B)]
         )
         rows = rows[..., : 2 * gp1 * C]  # drop lane padding
@@ -323,22 +338,58 @@ def retile_conv_in_kernel(kernel_51: jnp.ndarray):
     return k_lr, k12
 
 
+_S2D_ID_KERNEL: dict = {}
+
+
+def _s2d_identity_kernel(dtype, block: int = 4, C: int = 3) -> jnp.ndarray:
+    """(block, block, C, C*block*block) kernel with
+    K[a, b, c, c*block^2 + a*block + b] = 1: a stride-``block`` VALID conv
+    with this kernel IS space_to_depth in the reference channel order
+    (train.py:102-106) — and, each output being one exact 1.0*x term,
+    it is exact in any dtype."""
+    import numpy as np
+
+    key = (str(dtype), block, C)
+    if key not in _S2D_ID_KERNEL:
+        k = np.zeros((block, block, C, C * block * block), np.float32)
+        for a in range(block):
+            for b in range(block):
+                for c in range(C):
+                    k[a, b, c, c * block * block + a * block + b] = 1.0
+        _S2D_ID_KERNEL[key] = k
+    return jnp.asarray(_S2D_ID_KERNEL[key], dtype)
+
+
 def fused_first_layer(params_g, cur_lr, warped_hr, dtype=jnp.bfloat16):
-    """relu(conv_in([lr ‖ s2d(deprocess(warped))])) without the s2d."""
+    """relu(conv_in([lr ‖ s2d(deprocess(warped))])) with the s2d done on
+    the MXU: a 4x4 stride-4 identity conv.
+
+    History: the first fast-path formulation folded the s2d INTO conv_in
+    as a 12x12 stride-4 conv (retile_conv_in_kernel).  That conv runs at
+    ~3 TFLOP/s on v5e (overlapping 12-wide windows at stride 4) —
+    2.16 ms/frame plus ~0.8 ms of input layout copies at 1080p.  A
+    non-overlapping 4x4 stride-4 identity conv moves the same data
+    through the MXU in ~0.2 ms, after which conv_in's feedback half is a
+    dense 3x3 48-channel conv at LR resolution (~0.3 ms).  Measured
+    35.65 -> 37.4 fps end-to-end.  Explicit transpose/reshape s2d was
+    far worse (~35 ms/frame: tiny-minor-dim transposes)."""
     k = params_g["conv_in"]["kernel"]
     b = params_g["conv_in"]["bias"]
-    k_lr, k12 = retile_conv_in_kernel(k)
+    k_lr = k[:, :, :3]
+    k_fb = k[:, :, 3:]  # (3, 3, 48, O), reference s2d channel order
 
+    d = deprocess(warped_hr).astype(dtype)
+    s2d = jax.lax.conv_general_dilated(
+        d, _s2d_identity_kernel(dtype), (4, 4), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y_fb = jax.lax.conv_general_dilated(
+        s2d, k_fb.astype(dtype), (1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
     y_lr = jax.lax.conv_general_dilated(
         cur_lr.astype(dtype), k_lr.astype(dtype), (1, 1),
         padding=((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    d = deprocess(warped_hr).astype(dtype)
-    # zero-pad 4 on each side = the 3x3 conv's zero padding in s2d space
-    d = jnp.pad(d, ((0, 0), (4, 4), (4, 4), (0, 0)))
-    y_fb = jax.lax.conv_general_dilated(
-        d, k12.astype(dtype), (4, 4), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return jax.nn.relu(y_lr + y_fb + b.astype(dtype))
@@ -583,6 +634,89 @@ def warp_s2d_carry(carry_s2d: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
                                   unroll_streams=unroll_streams)
 
 
+def _s2d_reorder_coords(a: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4H, 4W) planar coordinates -> (B, 4H, 4W) with the CONTENT in
+    space-to-depth traversal order: flat position (h*W + w)*16 + a*4 + b
+    holds the coordinate of HR pixel (4h+a, 4w+b).
+
+    The well-tiled (4H, 4W) carrier shape matters: a flat (1, 16*H*W)
+    array gets a T(1, 128) layout (1/8 sublane occupancy) and every
+    downstream combine op inherits it — measured 3x slowdown of the
+    whole warp stage."""
+    B, H4, W4 = a.shape
+    a = a.reshape(B, H4 // 4, 4, W4 // 4, 4)
+    a = jnp.transpose(a, (0, 1, 3, 2, 4))
+    return a.reshape(B, H4, W4)
+
+
+def warp_s2d_carry_to_s2d(carry_s2d: jnp.ndarray, ix: jnp.ndarray,
+                          iy: jnp.ndarray, group: int = 4,
+                          unroll_streams: bool = True) -> jnp.ndarray:
+    """Warp the s2d-layout carried SR frame, emitting the warped feedback
+    DIRECTLY in space-to-depth arrangement (B, H, W, 16C) with channel
+    order (a*4 + b)*C + c.
+
+    Same gathers as warp_s2d_carry (one packed row per HR pixel), but the
+    output rows land in s2d traversal order, so the 48-channel feedback
+    tensor appears without the HR-resolution intermediate: conv_in then
+    runs as the ORIGINAL dense 3x3 51-channel conv at LR resolution
+    (kernel channel-permuted by retile_conv_in_s2d48) instead of the
+    12x12 stride-4 conv over a 1080p image — removing that conv's
+    spatial-window layout copies from the loop (~3 ms/frame in the
+    round-3 trace)."""
+    B, Hl, Wl, C16 = carry_s2d.shape
+    C = C16 // 16
+    table = build_packed_table_s2d(carry_s2d, group)
+    # The s2d reorder of the coordinate planes is a real relayout; the
+    # barrier makes XLA materialize each ONCE instead of refusing the
+    # transpose into every combine fusion (13 duplicated ~0.9 ms
+    # relayouts per frame in the round-3 trace).
+    ixf, iyf = jax.lax.optimization_barrier(
+        (_s2d_reorder_coords(ix), _s2d_reorder_coords(iy))
+    )
+    out = _packed_gather_combine(
+        table, ixf, iyf,
+        4 * Hl, 4 * Wl, group, C, unroll_streams=unroll_streams,
+    )
+    # (B, 4Hl, 4Wl, C) with s2d-ordered content: the row-major flat order
+    # is ((h*Wl + w)*16 + ab)*C + c, so this reshape is pure in element
+    # order — but NOT layout-free (3-minor -> 48-minor tiling).  Without
+    # the barrier XLA clones the relayout into every one of the combine's
+    # 10 slot-term fusions (10 x 12.4 MB writes/frame in the trace); with
+    # it the combine accumulates fused and the relayout happens once.
+    out = jax.lax.optimization_barrier(out)
+    return out.reshape(B, Hl, Wl, 16 * C)
+
+
+def retile_conv_in_s2d48(kernel_51: jnp.ndarray) -> jnp.ndarray:
+    """conv_in's (3,3,51,O) kernel with the 48 feedback input channels
+    permuted from the reference s2d order c*16 + a*4 + b
+    (train.py:102-106) to the warp-combine's (a*4 + b)*3 + c order, so
+    warp_s2d_carry_to_s2d's output concatenates with the LR frame and
+    feeds ONE dense 3x3 conv."""
+    k_lr = kernel_51[:, :, :3]
+    k_fb = kernel_51[:, :, 3:]  # (3,3,48,O), ch = c*16 + ab
+    O = k_fb.shape[-1]
+    k_fb = k_fb.reshape(3, 3, 3, 16, O)  # (di, dj, c, ab, O)
+    k_fb = jnp.transpose(k_fb, (0, 1, 3, 2, 4)).reshape(3, 3, 48, O)
+    return jnp.concatenate([k_lr, k_fb], axis=2)
+
+
+def fused_first_layer_s2d48(params_g, cur_lr, fb_s2d48, dtype=jnp.bfloat16):
+    """relu(conv_in([lr ‖ deprocess(feedback)])) with the feedback already
+    in s2d-combine channel order — one dense LR-resolution conv."""
+    k = retile_conv_in_s2d48(params_g["conv_in"]["kernel"])
+    b = params_g["conv_in"]["bias"]
+    inp = jnp.concatenate(
+        [cur_lr.astype(dtype), deprocess(fb_s2d48).astype(dtype)], axis=-1
+    )
+    y = jax.lax.conv_general_dilated(
+        inp, k.astype(dtype), (1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.relu(y + b.astype(dtype))
+
+
 def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0, K6, b_s2d):
     """Frame 0 on the s2d-carry path (zero feedback)."""
     k = params_g["conv_in"]["kernel"][:, :, :3]
@@ -599,7 +733,14 @@ def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0, K6, b_s2d):
 
 def fused_sr_step_s2d(gen: Generator, variables, params_g, carry_s2d,
                       prev_lr, cur_lr, K6, b_s2d, unroll_streams: bool = True):
-    """One recurrent step, s2d carry in -> s2d carry out."""
+    """One recurrent step, s2d carry in -> s2d carry out.
+
+    Negative result (round 3, v5e): routing the warp combine through
+    warp_s2d_carry_to_s2d + the dense 51-ch conv_in measured 32.2 fps vs
+    35.65 for this path — the s2d coordinate/output relayouts (~2.3
+    ms/frame) outweigh replacing the stride-4 12x12 conv_in (~3.0
+    ms/frame incl. its layout copies).  The s2d-direct pieces stay
+    tested above for serving shapes where the trade flips."""
     ix, iy = planar_pseudo_flow_coords(prev_lr)
     warped = warp_s2d_carry(carry_s2d, ix, iy, unroll_streams=unroll_streams)
     net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)

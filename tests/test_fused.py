@@ -292,3 +292,41 @@ def test_s2d_carry_clip_inference_matches_nhwc_fast(rng):
     b = build_clip_inference(cfg2)(state.params_g, clip)
     assert a.shape == (1, 4, 64, 64, 3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1.5/255.0)
+
+
+def test_warp_s2d_to_s2d_matches_composition(rng):
+    """warp_s2d_carry_to_s2d == channel-permuted s2d of the HR warp."""
+    from tecogan_tpu.engine.fused import (
+        warp_s2d_carry, warp_s2d_carry_to_s2d, planar_pseudo_flow_coords,
+    )
+
+    carry = jnp.asarray(rng.random((2, 6, 8, 48)).astype(np.float32))
+    prev_lr = jnp.asarray(rng.random((2, 6, 8, 3)).astype(np.float32))
+    ix, iy = planar_pseudo_flow_coords(prev_lr)
+    hr = warp_s2d_carry(carry, ix, iy)  # (2, 24, 32, 3)
+    got = warp_s2d_carry_to_s2d(carry, ix, iy)  # (2, 6, 8, 48)
+    # reference comparison: s2d traversal with (ab)*C + c channel order
+    ref = hr.reshape(2, 6, 4, 8, 4, 3)
+    ref = jnp.transpose(ref, (0, 1, 3, 2, 4, 5)).reshape(2, 6, 8, 48)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_fused_first_layer_s2d48_matches_unfused(rng):
+    """One dense 51-ch conv on the permuted-channel feedback == the
+    stride-4 fused_first_layer on the equivalent HR warped image."""
+    from tecogan_tpu.engine.fused import fused_first_layer_s2d48
+
+    cfg = TecoConfig(precision="f32", num_resblock=2)
+    state = init_state(cfg.replace(crop_size=8), jax.random.PRNGKey(3))
+    cur_lr = jnp.asarray(rng.random((1, 6, 8, 3)).astype(np.float32))
+    warped_hr = jnp.asarray(rng.random((1, 24, 32, 3)).astype(np.float32))
+    ref = fused_first_layer(state.params_g, cur_lr, warped_hr,
+                            dtype=jnp.float32)
+    fb = warped_hr.reshape(1, 6, 4, 8, 4, 3)
+    fb = jnp.transpose(fb, (0, 1, 3, 2, 4, 5)).reshape(1, 6, 8, 48)
+    got = fused_first_layer_s2d48(state.params_g, cur_lr, fb,
+                                  dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
