@@ -554,9 +554,10 @@ def retile_conv_out_s2d(kernel: jnp.ndarray, bias: jnp.ndarray):
     whose output IS the space-to-depth of the 1080p conv: output channel
     c*16 + a*4 + b at LR position (i, j) equals the 3x3 conv at HR pixel
     (4i+a, 4j+b).  A 6x6 window covers the 4x4 block's taps; each output
-    channel uses a 3x3 sub-window (structured zeros).  Same MACs on ¼ the
-    output positions with 16x the output channels — MXU-dense where the
-    direct 3-channel 1080p conv pads 3 -> 128 lanes."""
+    channel uses a 3x3 sub-window (structured zeros).
+
+    Kept as the engineering record for conv_out_s2d_stride4 (see its
+    negative-result note); production is conv_out_s2d below."""
     C = kernel.shape[-1]
     pieces = []
     for c in range(C):
@@ -569,15 +570,44 @@ def retile_conv_out_s2d(kernel: jnp.ndarray, bias: jnp.ndarray):
     return K6, b_s2d
 
 
-def conv_out_s2d(feat_hr: jnp.ndarray, K6: jnp.ndarray, b_s2d: jnp.ndarray,
-                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
+def conv_out_s2d_stride4(feat_hr: jnp.ndarray, K6: jnp.ndarray,
+                         b_s2d: jnp.ndarray,
+                         out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """(B, 4H, 4W, 64) conv_hr features -> sigmoid SR frame in s2d layout
-    (B, H, W, 16C)."""
+    (B, H, W, 16C) via ONE stride-4 6x6 conv (retile_conv_out_s2d).
+
+    Negative result (round 3, v5e): the overlapping-window stride-4 conv
+    forces XLA to re-window relu(conv_hr)'s output — ~3.9 ms/frame of
+    pure layout copies at 1080p.  conv_out_s2d (direct conv + identity
+    s2d conv) keeps stride-1 windowing through the 1080p stage and
+    measured 38.0 vs 37.4 fps end-to-end."""
     y = jax.lax.conv_general_dilated(
         feat_hr, K6.astype(feat_hr.dtype), (4, 4), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return jax.nn.sigmoid((y + b_s2d.astype(y.dtype)).astype(out_dtype))
+
+
+def conv_out_s2d(feat_hr: jnp.ndarray, kernel: jnp.ndarray,
+                 bias: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(B, 4H, 4W, 64) conv_hr features -> sigmoid SR frame in s2d layout
+    (B, H, W, 16C), channel c*16 + a*4 + b (train.py:102-106 order).
+
+    Direct 3x3 conv_out + sigmoid at 1080p (stride-1: shares conv_hr's
+    spatial windowing, so no inter-conv relayout), then space-to-depth
+    as a non-overlapping 4x4 stride-4 identity conv — exact (one 1.0*x
+    term per output) and nearly free on the MXU."""
+    C = kernel.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        feat_hr, kernel.astype(feat_hr.dtype), (1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    frame = jax.nn.sigmoid((y + bias.astype(y.dtype)).astype(out_dtype))
+    return jax.lax.conv_general_dilated(
+        frame, _s2d_identity_kernel(frame.dtype, 4, C), (4, 4),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 def s2d_to_frame(s2d: jnp.ndarray) -> jnp.ndarray:
@@ -717,7 +747,7 @@ def fused_first_layer_s2d48(params_g, cur_lr, fb_s2d48, dtype=jnp.bfloat16):
     return jax.nn.relu(y + b.astype(dtype))
 
 
-def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0, K6, b_s2d):
+def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0):
     """Frame 0 on the s2d-carry path (zero feedback)."""
     k = params_g["conv_in"]["kernel"][:, :, :3]
     b = params_g["conv_in"]["bias"]
@@ -728,11 +758,12 @@ def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0, K6, b_s2d):
     )
     feat = gen.apply(variables, jax.nn.relu(y + b.astype(dt)),
                      method=Generator.tail_features)
-    return conv_out_s2d(feat, K6, b_s2d)
+    return conv_out_s2d(feat, params_g["conv_out"]["kernel"],
+                        params_g["conv_out"]["bias"])
 
 
 def fused_sr_step_s2d(gen: Generator, variables, params_g, carry_s2d,
-                      prev_lr, cur_lr, K6, b_s2d, unroll_streams: bool = True):
+                      prev_lr, cur_lr, unroll_streams: bool = True):
     """One recurrent step, s2d carry in -> s2d carry out.
 
     Negative result (round 3, v5e): routing the warp combine through
@@ -745,4 +776,5 @@ def fused_sr_step_s2d(gen: Generator, variables, params_g, carry_s2d,
     warped = warp_s2d_carry(carry_s2d, ix, iy, unroll_streams=unroll_streams)
     net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
     feat = gen.apply(variables, net, method=Generator.tail_features)
-    return conv_out_s2d(feat, K6, b_s2d)
+    return conv_out_s2d(feat, params_g["conv_out"]["kernel"],
+                        params_g["conv_out"]["bias"])

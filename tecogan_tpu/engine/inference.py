@@ -86,24 +86,18 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
         if use_s2d_carry:
             from .fused import (
-                retile_conv_out_s2d, fused_first_frame_s2d,
-                fused_sr_step_s2d, s2d_to_frame,
+                fused_first_frame_s2d, fused_sr_step_s2d, s2d_to_frame,
             )
 
-            K6, b_s2d = retile_conv_out_s2d(
-                params_g["conv_out"]["kernel"].astype(gen_fast.dtype),
-                params_g["conv_out"]["bias"],
-            )
             sr0 = fused_first_frame_s2d(
-                gen_fast, {"params": params_g}, params_g, lr_clip[:, 0],
-                K6, b_s2d,
+                gen_fast, {"params": params_g}, params_g, lr_clip[:, 0]
             )
 
             def body(carry, xs):
                 prev_lr, cur_lr = xs
                 sr = fused_sr_step_s2d(
                     gen_fast, {"params": params_g}, params_g, carry,
-                    prev_lr, cur_lr, K6, b_s2d,
+                    prev_lr, cur_lr,
                     unroll_streams=cfg.gather_unroll_streams,
                 )
                 return sr, sr
@@ -179,7 +173,7 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
         gen_fast = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
 
-    def make_body(params_g, K6=None, b_s2d=None):
+    def make_body(params_g):
         """Per-frame body — the SAME math as build_clip_inference's scan
         body, with prev_lr carried instead of pre-stacked."""
         if use_s2d_carry:
@@ -189,7 +183,7 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 prev_sr, prev_lr = carry
                 sr = fused_sr_step_s2d(
                     gen_fast, {"params": params_g}, params_g, prev_sr,
-                    prev_lr, cur_lr, K6, b_s2d,
+                    prev_lr, cur_lr,
                     unroll_streams=cfg.gather_unroll_streams,
                 )
                 return (sr, cur_lr), sr
@@ -213,12 +207,12 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 return (sr, cur_lr), sr
         return body
 
-    def _first(params_g, lr0, K6=None, b_s2d=None):
+    def _first(params_g, lr0):
         if use_s2d_carry:
             from .fused import fused_first_frame_s2d
 
             return fused_first_frame_s2d(
-                gen_fast, {"params": params_g}, params_g, lr0, K6, b_s2d
+                gen_fast, {"params": params_g}, params_g, lr0
             )
         if use_fused:
             from .fused import fused_first_frame
@@ -227,16 +221,6 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 gen_fast, {"params": params_g}, params_g, lr0
             )
         return first_frame(gen, params_g, lr0)
-
-    def _retile(params_g):
-        if not use_s2d_carry:
-            return None, None
-        from .fused import retile_conv_out_s2d
-
-        return retile_conv_out_s2d(
-            params_g["conv_out"]["kernel"].astype(gen_fast.dtype),
-            params_g["conv_out"]["bias"],
-        )
 
     def _to_frames(sr_stack):
         """(K, B, ...) scan stack -> (B, K, 4H, 4W, 3) f32."""
@@ -249,9 +233,8 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
     def head_fn(params_g, lr_chunk):
         """First window: frame 0 cold start + warm scan over the rest."""
-        K6, b_s2d = _retile(params_g)
-        body = make_body(params_g, K6, b_s2d)
-        sr0 = _first(params_g, lr_chunk[:, 0], K6, b_s2d)
+        body = make_body(params_g)
+        sr0 = _first(params_g, lr_chunk[:, 0])
         frames = jnp.moveaxis(lr_chunk, 1, 0)
         carry, rest = jax.lax.scan(body, (sr0, lr_chunk[:, 0]), frames[1:])
         sr_chunk = _to_frames(jnp.concatenate([sr0[None], rest], axis=0))
@@ -259,8 +242,7 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
     def cont_fn(params_g, carry, lr_chunk):
         """Continuation window: warm scan with the carried state."""
-        K6, b_s2d = _retile(params_g)
-        body = make_body(params_g, K6, b_s2d)
+        body = make_body(params_g)
         frames = jnp.moveaxis(lr_chunk, 1, 0)
         carry, srs = jax.lax.scan(body, carry, frames)
         return carry, _to_frames(srs)

@@ -250,9 +250,12 @@ def test_packed_int8_coords_entry_matches_grid_entry(rng):
 
 
 def test_conv_out_s2d_matches_direct(rng):
-    """The stride-4 s2d conv_out must be exactly the s2d of the direct
-    3x3 conv + sigmoid."""
-    from tecogan_tpu.engine.fused import retile_conv_out_s2d, conv_out_s2d, s2d_to_frame
+    """Both s2d conv_out formulations (production identity-conv and the
+    attic stride-4 retile) must be exactly the s2d of the direct 3x3
+    conv + sigmoid."""
+    from tecogan_tpu.engine.fused import (
+        retile_conv_out_s2d, conv_out_s2d, conv_out_s2d_stride4, s2d_to_frame,
+    )
 
     feat = jnp.asarray(rng.random((1, 16, 24, 64)).astype(np.float32))
     k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 3)).astype(np.float32))
@@ -261,10 +264,14 @@ def test_conv_out_s2d_matches_direct(rng):
         feat, k, (1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + b)
-    K6, b48 = retile_conv_out_s2d(k, b)
-    s2d = conv_out_s2d(feat, K6, b48, out_dtype=jnp.float32)
+    s2d = conv_out_s2d(feat, k, b, out_dtype=jnp.float32)
     got = s2d_to_frame(s2d)
     np.testing.assert_allclose(np.asarray(got), np.asarray(direct), atol=1e-6)
+
+    K6, b48 = retile_conv_out_s2d(k, b)
+    s2d4 = conv_out_s2d_stride4(feat, K6, b48, out_dtype=jnp.float32)
+    got4 = s2d_to_frame(s2d4)
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(direct), atol=1e-6)
 
 
 def test_s2d_table_matches_nhwc_table(rng):

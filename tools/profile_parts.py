@@ -51,10 +51,6 @@ def main():
     gen = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
     variables = {"params": params_g}
 
-    K6, b_s2d = F.retile_conv_out_s2d(
-        params_g["conv_out"]["kernel"].astype(gen.dtype),
-        params_g["conv_out"]["bias"],
-    )
 
     rng = np.random.default_rng(0)
     for B in [int(a) for a in sys.argv[1:]] or [1, 2]:
@@ -90,7 +86,8 @@ def main():
         feat = tailf(net)
         t_tail = timeit(tailf, net, reps=5)
 
-        cout = jax.jit(lambda f: F.conv_out_s2d(f, K6, b_s2d))
+        cout = jax.jit(lambda f: F.conv_out_s2d(
+            f, params_g["conv_out"]["kernel"], params_g["conv_out"]["bias"]))
         _ = cout(feat)
         t_out = timeit(cout, feat, reps=5)
 

@@ -37,10 +37,6 @@ def main():
     gen, _ = model_defs(cfg)
     gen = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
     variables = {"params": params_g}
-    K6, b_s2d = F.retile_conv_out_s2d(
-        params_g["conv_out"]["kernel"].astype(gen.dtype),
-        params_g["conv_out"]["bias"],
-    )
 
     def make_infer(stub_tail=False, stub_warp=False, stub_first=False,
                    stub_out=False, stub_coords=False, stub_gather=False,
@@ -112,14 +108,16 @@ def main():
                     jnp.tile(feat[:, ::4, ::4, :3], (1, 1, 1, 16))
                 ).astype(jnp.bfloat16)
             else:
-                sr = F.conv_out_s2d(feat, K6, b_s2d)
+                sr = F.conv_out_s2d(
+                    feat, params_g["conv_out"]["kernel"],
+                    params_g["conv_out"]["bias"])
             return sr, sr
 
         def infer(params_g_, clip):
             B = clip.shape[0]
             frames = jnp.moveaxis(clip, 1, 0)
             sr0 = F.fused_first_frame_s2d(
-                gen, variables, params_g_, clip[:, 0], K6, b_s2d
+                gen, variables, params_g_, clip[:, 0]
             )
             _, rest = jax.lax.scan(body, sr0, (frames[:-1], frames[1:]))
             return rest
