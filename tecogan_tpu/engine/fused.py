@@ -747,8 +747,10 @@ def fused_first_layer_s2d48(params_g, cur_lr, fb_s2d48, dtype=jnp.bfloat16):
     return jax.nn.relu(y + b.astype(dtype))
 
 
-def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0):
-    """Frame 0 on the s2d-carry path (zero feedback)."""
+def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0,
+                          tail_fn=None):
+    """Frame 0 on the s2d-carry path (zero feedback).  tail_fn overrides
+    the bf16 tail (e.g. the int8 quantized tail, engine/quant.py)."""
     k = params_g["conv_in"]["kernel"][:, :, :3]
     b = params_g["conv_in"]["bias"]
     dt = gen.dtype
@@ -756,14 +758,16 @@ def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0):
         lr0.astype(dt), k.astype(dt), (1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    feat = gen.apply(variables, jax.nn.relu(y + b.astype(dt)),
-                     method=Generator.tail_features)
+    net = jax.nn.relu(y + b.astype(dt))
+    feat = (tail_fn(net) if tail_fn is not None
+            else gen.apply(variables, net, method=Generator.tail_features))
     return conv_out_s2d(feat, params_g["conv_out"]["kernel"],
                         params_g["conv_out"]["bias"])
 
 
 def fused_sr_step_s2d(gen: Generator, variables, params_g, carry_s2d,
-                      prev_lr, cur_lr, unroll_streams: bool = True):
+                      prev_lr, cur_lr, unroll_streams: bool = True,
+                      tail_fn=None):
     """One recurrent step, s2d carry in -> s2d carry out.
 
     Negative result (round 3, v5e): routing the warp combine through
@@ -775,6 +779,7 @@ def fused_sr_step_s2d(gen: Generator, variables, params_g, carry_s2d,
     ix, iy = planar_pseudo_flow_coords(prev_lr)
     warped = warp_s2d_carry(carry_s2d, ix, iy, unroll_streams=unroll_streams)
     net = fused_first_layer(params_g, cur_lr, warped, dtype=gen.dtype)
-    feat = gen.apply(variables, net, method=Generator.tail_features)
+    feat = (tail_fn(net) if tail_fn is not None
+            else gen.apply(variables, net, method=Generator.tail_features))
     return conv_out_s2d(feat, params_g["conv_out"]["kernel"],
                         params_g["conv_out"]["bias"])

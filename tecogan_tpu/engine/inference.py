@@ -140,6 +140,65 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     return jax.jit(infer) if cfg.jit else infer
 
 
+def build_quantized_clip_inference(cfg: TecoConfig,
+                                   gen: Optional[Generator] = None):
+    """int8 (W8A8) serving path: returns ``(prepare, infer)``.
+
+    ``prepare(params_g, calib_clip, frames=8)`` calibrates static
+    activation scales on a clip prefix through the real recurrence and
+    returns the quantized-tail pytree (engine/quant.py);
+    ``infer(params_g, qtail, lr_clip)`` is the fused s2d scan with the
+    generator tail's convs running s8 x s8 -> s32 on the MXU.  First
+    layer, warp, and conv_out stay bf16.  Opt-in (``--quantize int8``) —
+    output differs from the bf16 path by the quantization error, so it
+    is never used for parity or training.
+    """
+    import dataclasses
+
+    if gen is None:
+        gen, _ = _default_models(cfg)
+    if cfg.bug_parity or not cfg.use_pallas or cfg.warp_group != 4:
+        raise ValueError(
+            "int8 inference requires the fused s2d fast path "
+            "(bug_parity=False, use_pallas=True, warp_group=4)")
+    gen_fast = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
+
+    def prepare(params_g, calib_clip, frames: int = 8):
+        from .quant import calibrate_clip, quantize_tail
+
+        maxes = calibrate_clip(cfg, params_g, calib_clip, frames=frames)
+        return quantize_tail(params_g, maxes)
+
+    def infer(params_g, qtail, lr_clip):
+        from .fused import (
+            fused_first_frame_s2d, fused_sr_step_s2d, s2d_to_frame,
+        )
+        from .quant import tail_features_int8
+
+        def tail_fn(net):
+            return tail_features_int8(params_g, qtail, net,
+                                      compute_dtype=gen_fast.dtype)
+
+        frames = jnp.moveaxis(lr_clip, 1, 0)
+        sr0 = fused_first_frame_s2d(
+            gen_fast, {"params": params_g}, params_g, lr_clip[:, 0],
+            tail_fn=tail_fn)
+
+        def body(carry, xs):
+            prev_lr, cur_lr = xs
+            sr = fused_sr_step_s2d(
+                gen_fast, {"params": params_g}, params_g, carry,
+                prev_lr, cur_lr, unroll_streams=cfg.gather_unroll_streams,
+                tail_fn=tail_fn)
+            return sr, sr
+
+        _, rest = jax.lax.scan(body, sr0, (frames[:-1], frames[1:]))
+        all_s2d = jnp.concatenate([sr0[None], rest], axis=0)
+        return s2d_to_frame(jnp.moveaxis(all_s2d, 0, 1)).astype(jnp.float32)
+
+    return prepare, (jax.jit(infer) if cfg.jit else infer)
+
+
 def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     """O(chunk)-device-memory inference for long clips (VERDICT r2
     Missing #2).
@@ -284,6 +343,10 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
             return np.concatenate(out, axis=1)
         return None
 
+    # The two window programs, exposed for AOT export (tools/export_infer.py):
+    # head_fn(params_g, lr_chunk) / cont_fn(params_g, carry, lr_chunk).
+    infer.head_fn = head_fn
+    infer.cont_fn = cont_fn
     return infer
 
 

@@ -2,6 +2,7 @@
 polymorphism, and equivalence with the training-engine unroll."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -150,3 +151,34 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 256, 256, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_aot_export_roundtrip(tmp_path, rng):
+    """jax.export'ed head/cont window programs must be bit-equal to the
+    live chunked-inference programs after serialize->deserialize
+    (tools/export_infer.py serving artifact)."""
+    from jax import export as jax_export
+    from tecogan_tpu.engine.inference import build_chunked_inference
+
+    cfg = small_cfg(bug_parity=False)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    infer = build_chunked_inference(cfg)
+    spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), state.params_g
+    )
+    lr_spec = jax.ShapeDtypeStruct((1, 4, 8, 8, 3), jnp.float32)
+    carry_spec, _ = jax.eval_shape(infer.head_fn, spec, lr_spec)
+    head_rt = jax_export.deserialize(
+        jax_export.export(infer.head_fn)(spec, lr_spec).serialize())
+    cont_rt = jax_export.deserialize(
+        jax_export.export(infer.cont_fn)(spec, carry_spec, lr_spec).serialize())
+
+    lr1 = jnp.asarray(rng.random((1, 4, 8, 8, 3)).astype(np.float32))
+    lr2 = jnp.asarray(rng.random((1, 4, 8, 8, 3)).astype(np.float32))
+    c_l, sr1_l = infer.head_fn(state.params_g, lr1)
+    c_r, sr1_r = head_rt.call(state.params_g, lr1)
+    np.testing.assert_array_equal(np.asarray(sr1_l), np.asarray(sr1_r))
+    _, sr2_l = infer.cont_fn(state.params_g, c_l, lr2)
+    _, sr2_r = cont_rt.call(state.params_g, c_r, lr2)
+    np.testing.assert_array_equal(np.asarray(sr2_l), np.asarray(sr2_r))
