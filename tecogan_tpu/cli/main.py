@@ -44,6 +44,11 @@ def run_inference(cfg: TecoConfig) -> None:
     state = init_state(cfg, jax.random.PRNGKey(cfg.rand_seed))
     params_g = load_generator_params(cfg.g_checkpoint, state.params_g)
     infer = build_clip_inference(cfg)
+    qinfer = qtail = None
+    if cfg.quantize == "int8":
+        from ..engine.inference import build_quantized_clip_inference
+
+        prepare_q, qinfer = build_quantized_clip_inference(cfg)
 
     if cfg.inferencetype == "dataset":
         ds = InferenceDataset(cfg)
@@ -139,7 +144,14 @@ def run_inference(cfg: TecoConfig) -> None:
                 f"({clip.shape[0] / dt:.1f} fps) -> {out}"
             )
             continue
-        sr = infer(params_g, jnp.asarray(clip)[None])
+        if qinfer is not None:
+            if qtail is None:  # calibrate once, on the first clip served
+                qtail = prepare_q(params_g, jnp.asarray(clip)[None])
+                print("int8: activation scales calibrated on clip "
+                      f"{idx} (first 8 frames)")
+            sr = qinfer(params_g, qtail, jnp.asarray(clip)[None])
+        else:
+            sr = infer(params_g, jnp.asarray(clip)[None])
         sr.block_until_ready()
         dt = time.time() - t0
         write_clip(idx, clip, np.asarray(sr[0]), dt)

@@ -128,6 +128,10 @@ class TecoConfig:
     infer_chunk: int = 0  # streaming inference window: 0 auto (engage on
     # clips whose SR output exceeds ~2 GB), -1 one-shot always, >0 fixed
     # window size (device + host memory O(window), any clip length)
+    quantize: str = ""  # "int8": W8A8 quantized generator tail for
+    # serving (engine/quant.py) — activation scales calibrated on the
+    # first clip; applies to the one-shot clip path (DP/chunked stay
+    # bf16); requires bug_parity=False
     profile_dir: str = ""  # capture a jax.profiler trace of steps 10-15
     auto_resume: bool = False  # resume from output_dir checkpoints if present
     async_checkpoint: bool = True  # serialize checkpoints off the train loop
@@ -229,6 +233,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", default=d.steps_per_epoch, type=int)
     p.add_argument("--steps_per_dispatch", default=d.steps_per_dispatch, type=int)
     p.add_argument("--infer_chunk", default=d.infer_chunk, type=int)
+    p.add_argument("--quantize", default=d.quantize, choices=["", "int8"])
     p.add_argument("--profile_dir", default=d.profile_dir)
     p.add_argument("--validate_every", default=d.validate_every, type=int)
     p.add_argument("--auto_resume", default=d.auto_resume, type=str2bool)

@@ -255,3 +255,9 @@ def test_sigterm_graceful_checkpoint(cli_workspace, tmp_path):
     request_graceful_stop()
     run_train(cfg)  # must return after ~1 step instead of 50 epochs
     assert has_checkpoint(out)
+
+
+def test_quantize_flag_parses():
+    cfg = parse_config(["--quantize", "int8", "--bug_parity", "False"])
+    assert cfg.quantize == "int8" and cfg.bug_parity is False
+    assert parse_config([]).quantize == ""

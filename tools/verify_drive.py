@@ -112,6 +112,28 @@ def main():
              for f in os.listdir(tmp) if f.startswith("x.")}
     print("media:", sizes)
     assert all(v > 0 for v in sizes.values())
+
+    # CLI surface with the int8 serving flag (reads the drive's checkpoint).
+    # Short clips: XLA CPU lowers s8 convs naively (fine — the int8 path
+    # is TPU serving), so 120-frame scenes would dominate the drive.
+    from tecogan_tpu.cli.main import main as cli_main
+
+    scenes12 = os.path.join(tmp, "scenes12")
+    write_synthetic_scene_folders(scenes12, num_scenes=1, size=64,
+                                  frames_per_scene=12)
+    out_q = os.path.join(tmp, "q")
+    cli_main([
+        "--mode", "inference", "--inferencetype", "dataset",
+        "--input_dir_LR", scenes12, "--input_dir_len", "1",
+        "--crop_size", "32", "--num_resblock", "2",
+        "--bug_parity", "False", "--quantize", "int8",
+        "--g_checkpoint", os.path.join(ck, "generator.ckpt"),
+        "--output_dir", out_q, "--data_axis", "1",
+    ])
+    outs = os.listdir(out_q)
+    print("cli int8 inference:", outs)
+    assert outs and all(os.path.getsize(os.path.join(out_q, f)) > 0
+                        for f in outs)
     print("VERIFY OK")
 
 
