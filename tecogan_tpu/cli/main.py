@@ -157,6 +157,15 @@ def run_inference(cfg: TecoConfig) -> None:
         write_clip(idx, clip, np.asarray(sr[0]), dt)
 
 
+def _host_rss_gb() -> float:
+    """This process's resident set size in GB (Linux /proc)."""
+    try:
+        with open("/proc/self/status") as f:
+            return int(f.read().split("VmRSS:")[1].split()[0]) / (1 << 20)
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
 _STOP_REQUESTED: list = []
 
 
@@ -309,12 +318,22 @@ def run_train(cfg: TecoConfig) -> None:
         scores = []
         for s in range(len(val_dataset.scenes)):
             lr_clip, hr_clip = val_dataset.get_clip(s * 110)
-            lr_nhwc = jnp.transpose(jnp.asarray(lr_clip), (0, 2, 3, 1))[None]
-            sr = val_infer(params_g, lr_nhwc)[0]
-            hr_nhwc = jnp.transpose(jnp.asarray(hr_clip), (0, 2, 3, 1))
-            from ..ops.metrics import psnr
-
-            scores.append(float(psnr(hr_nhwc, sr)))
+            # transpose on host; upload u8 when --transfer_dtype u8 (the
+            # remote client leaks host memory per transferred byte —
+            # DESIGN.md) and deprocess on device
+            lr_nhwc = np.transpose(lr_clip, (0, 2, 3, 1))[None]
+            if cfg.transfer_dtype == "u8":
+                lr_dev = jnp.asarray(
+                    np.rint(lr_nhwc * 255.0).astype(np.uint8))
+                lr_dev = lr_dev.astype(jnp.float32) * jnp.float32(1 / 255)
+            else:
+                lr_dev = jnp.asarray(lr_nhwc)
+            sr = np.asarray(val_infer(params_g, lr_dev)[0])
+            # PSNR on host: uploading the f32 HR clips costs ~24 MB per
+            # scene per validation through the leaking transfer path
+            hr_nhwc = np.transpose(hr_clip, (0, 2, 3, 1))
+            mse = float(np.mean((hr_nhwc - sr) ** 2))
+            scores.append(10.0 * float(np.log10(1.0 / max(mse, 1e-12))))
         return float(np.mean(scores))
 
     import signal
@@ -339,6 +358,18 @@ def run_train(cfg: TecoConfig) -> None:
                 cfg.batch_size, shuffle=True, seed=cfg.rand_seed + epoch,
                 workers=cfg.queue_thread,
             )
+            if cfg.transfer_dtype == "u8":
+                # upload uint8, deprocess on device (engine/train.py):
+                # 4x fewer tunnel bytes + 4x less host memory lost to the
+                # remote client's per-transfer leak (DESIGN.md)
+                def _to_u8(it):
+                    for lr_b, hr_b in it:
+                        yield (
+                            np.rint(lr_b * 255.0).astype(np.uint8),
+                            np.rint(hr_b * 255.0).astype(np.uint8),
+                        )
+
+                raw_batches = _to_u8(raw_batches)
             epoch_sharding = sharding
             if k_dispatch > 1:
                 # stack K HOST batches per dispatch BEFORE the device-prefetch
@@ -464,6 +495,23 @@ def run_train(cfg: TecoConfig) -> None:
             elapsed = time.time() - since
             print(f"Training time {elapsed // 60:.0f}m {elapsed % 60:.0f}s",
                   flush=True)  # epoch summaries must survive redirected logs
+
+            # RSS watchdog (failure detection/recovery): remote-TPU
+            # clients can leak host memory per H2D transfer (measured
+            # ~1.3x the transfer size on the axon client, DESIGN.md) —
+            # unbounded training would end in an un-checkpointed OOM
+            # kill.  Checkpoint and hand control to the supervisor loop
+            # (exit 75 = EX_TEMPFAIL; tools/run_convergence_r3.sh
+            # restarts, --auto_resume continues the run).
+            if cfg.rss_limit_gb > 0 and _host_rss_gb() > cfg.rss_limit_gb:
+                save_train_state(cfg.output_dir, jax.device_get(state),
+                                 epoch, async_save=False)
+                writer.close()
+                print(f"RSS {_host_rss_gb():.1f} GB > limit "
+                      f"{cfg.rss_limit_gb:g} GB: checkpointed epoch "
+                      f"{epoch}, exiting 75 for supervisor restart",
+                      flush=True)
+                raise SystemExit(75)
         wait_for_async_save()
         writer.close()
     finally:

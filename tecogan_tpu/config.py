@@ -132,6 +132,14 @@ class TecoConfig:
     # serving (engine/quant.py) — activation scales calibrated on the
     # first clip; applies to the one-shot clip path (DP/chunked stay
     # bf16); requires bug_parity=False
+    transfer_dtype: str = "f32"  # "u8": upload train batches as uint8
+    # and deprocess on device — 4x fewer H2D bytes over a remote link
+    # AND 4x less host memory lost to per-transfer client leaks
+    # (DESIGN.md).  Quantizes augmented pixels to 1/255 (the PNGs'
+    # native grid); keep f32 for bit-parity runs.
+    rss_limit_gb: float = 0.0  # >0: at epoch end, if host RSS exceeds
+    # this, checkpoint and exit(75) for a supervisor restart (leaking
+    # remote-TPU clients; auto_resume picks the run back up).  0 = off.
     profile_dir: str = ""  # capture a jax.profiler trace of steps 10-15
     auto_resume: bool = False  # resume from output_dir checkpoints if present
     async_checkpoint: bool = True  # serialize checkpoints off the train loop
@@ -234,6 +242,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", default=d.steps_per_dispatch, type=int)
     p.add_argument("--infer_chunk", default=d.infer_chunk, type=int)
     p.add_argument("--quantize", default=d.quantize, choices=["", "int8"])
+    p.add_argument("--transfer_dtype", default=d.transfer_dtype,
+                   choices=["f32", "u8"])
+    p.add_argument("--rss_limit_gb", default=d.rss_limit_gb, type=float)
     p.add_argument("--profile_dir", default=d.profile_dir)
     p.add_argument("--validate_every", default=d.validate_every, type=int)
     p.add_argument("--auto_resume", default=d.auto_resume, type=str2bool)

@@ -50,6 +50,20 @@ def _build_train_step(cfg: TecoConfig, vgg_apply=None, donate: bool = True):
     opt_g_tx, opt_d_tx, sched = make_optimizers(cfg)
 
     def train_step(state: TrainState, lr_batch, hr_batch):
+        # uint8 batches deprocess ON DEVICE (--transfer_dtype u8): 4x
+        # fewer H2D bytes over a remote-TPU link, and 4x less host
+        # memory lost to the axon client's per-transfer leak (DESIGN.md
+        # "Host-memory leak in the remote-TPU client").  jit specializes
+        # on input dtype, so f32 callers compile the exact same program
+        # as before.
+        # deprocess semantic is x * f32(1/255), NOT x / 255: XLA lowers
+        # the division to a reciprocal multiply anyway, so defining it as
+        # the multiply makes host-vs-device results bit-identical
+        inv255 = jnp.float32(1.0 / 255.0)
+        if lr_batch.dtype == jnp.uint8:
+            lr_batch = lr_batch.astype(jnp.float32) * inv255
+        if hr_batch.dtype == jnp.uint8:
+            hr_batch = hr_batch.astype(jnp.float32) * inv255
         lr_now = sched(state.epoch)
 
         def gen_objective(params_g):

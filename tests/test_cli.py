@@ -261,3 +261,32 @@ def test_quantize_flag_parses():
     cfg = parse_config(["--quantize", "int8", "--bug_parity", "False"])
     assert cfg.quantize == "int8" and cfg.bug_parity is False
     assert parse_config([]).quantize == ""
+
+
+def test_transfer_and_rss_flags_parse():
+    cfg = parse_config(["--transfer_dtype", "u8", "--rss_limit_gb", "64"])
+    assert cfg.transfer_dtype == "u8" and cfg.rss_limit_gb == 64.0
+    d = parse_config([])
+    assert d.transfer_dtype == "f32" and d.rss_limit_gb == 0.0
+
+
+@pytest.mark.slow
+def test_rss_watchdog_checkpoints_and_exits_75(cli_workspace):
+    """--rss_limit_gb below the real footprint must checkpoint at epoch
+    end and exit 75 (EX_TEMPFAIL) for the supervisor loop — never run on
+    toward the OOM killer (the leaking remote-client scenario,
+    DESIGN.md)."""
+    root, data = cli_workspace
+    out_dir = str(root / "watchdog_out")
+    r = run_cli(
+        ["--mode", "train", "--input_video_dir", data,
+         "--str_dir", "1000", "--end_dir", "1000",
+         "--output_dir", out_dir, "--summary_dir", str(root / "wd_sum"),
+         "--max_epochs", "5", "--rss_limit_gb", "0.05",
+         "--transfer_dtype", "u8"] + FAST_FLAGS,
+        cwd=str(root),
+    )
+    assert r.returncode == 75, (r.returncode, r.stderr[-2000:])
+    assert "exiting 75 for supervisor restart" in r.stdout
+    assert os.path.exists(os.path.join(out_dir, "generator.ckpt"))
+    assert os.path.exists(os.path.join(out_dir, "discrim.ckpt"))

@@ -305,3 +305,34 @@ def test_multi_step_rejects_k1_and_empty_epoch_hint():
 
     with pytest.raises(ValueError, match="steps_per_dispatch"):
         build_multi_train_step(tiny_cfg(steps_per_dispatch=1))
+
+
+def test_u8_batch_matches_f32_of_quantized_values(rng):
+    """A uint8 batch must produce the same step as the f32 batch holding
+    the same u8 * f32(1/255) values (the on-device deprocess for
+    --transfer_dtype u8 — engine/train.py).  The deprocessed inputs are
+    bit-identical, but jit specializes the program per input dtype and
+    XLA fuses the convert differently, so downstream fp ordering shifts
+    ~1 ulp — assert tight tolerances, not bit equality."""
+    cfg = tiny_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step_fn = build_train_step(cfg, donate=False)
+    lr_u8 = (rng.random((2, cfg.RNN_N, 3, 8, 8)) * 255).astype(np.uint8)
+    hr_u8 = (rng.random((2, cfg.RNN_N, 3, 32, 32)) * 255).astype(np.uint8)
+
+    s_u8, m_u8, _ = step_fn(state, jnp.asarray(lr_u8), jnp.asarray(hr_u8))
+    inv = np.float32(1.0 / 255.0)
+    s_f32, m_f32, _ = step_fn(
+        state,
+        jnp.asarray(lr_u8.astype(np.float32) * inv),
+        jnp.asarray(hr_u8.astype(np.float32) * inv),
+    )
+    np.testing.assert_allclose(float(m_u8["gen_loss"]),
+                               float(m_f32["gen_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m_u8["d_loss"]),
+                               float(m_f32["d_loss"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(s_u8.params_g)
+    b = jax.tree_util.tree_leaves(s_f32.params_g)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=2e-6, rtol=1e-4)
