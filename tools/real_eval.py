@@ -105,6 +105,10 @@ def main(argv=None):
                    help="force a jax backend (this image's sitecustomize "
                         "pre-imports jax with the remote-TPU plugin, so a "
                         "plain env var is too late)")
+    p.add_argument("--record_suffix", default="",
+                   help="suffix for the model record keys (e.g. '_ft' for "
+                        "a fine-tuned checkpoint); with a suffix, existing "
+                        "records in --json_out are merged, not overwritten")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -139,26 +143,35 @@ def main(argv=None):
     print("spider bicubic    :", records["spider_bicubic4x"])
 
     if args.g_checkpoint:
+        sfx = args.record_suffix
         sr = run_model(args.g_checkpoint, lr, args.num_resblock)
-        records["ours_vs_real"] = score(sr, hr)
-        print("OUR model         :", records["ours_vs_real"])
+        records["ours_vs_real" + sfx] = score(sr, hr)
+        print("OUR model         :", records["ours_vs_real" + sfx])
 
         sr_spider = run_model(args.g_checkpoint, spider_lr, args.num_resblock)
-        records["spider_ours"] = score(sr_spider, spider_hr)
-        print("OUR model (spider):", records["spider_ours"])
+        records["spider_ours" + sfx] = score(sr_spider, spider_hr)
+        print("OUR model (spider):", records["spider_ours" + sfx])
 
-    out = {
-        "records": records,
-        "context": {
-            "source": "reference-shipped media (original/real/gan.gif, "
-                      "Resources/tecoGAN-spider.gif) — real video frames, "
-                      "not synthetic",
-            "checkpoint": args.g_checkpoint,
-            "degradation": "spider LR = bilinear 4x downscale (the "
-                           "training pairing); showcase LR = the "
-                           "reference's own original.gif",
-        },
+    context = {
+        "source": "reference-shipped media (original/real/gan.gif, "
+                  "Resources/tecoGAN-spider.gif) — real video frames, "
+                  "not synthetic",
+        "checkpoint" + args.record_suffix: args.g_checkpoint,
+        "degradation": "spider LR = bilinear 4x downscale (the "
+                       "training pairing); showcase LR = the "
+                       "reference's own original.gif",
     }
+    if args.record_suffix and os.path.exists(args.json_out):
+        with open(args.json_out) as f:
+            prev = json.load(f)
+        merged_r = prev.get("records", {})
+        merged_r.update(records)
+        records = merged_r
+        merged_c = prev.get("context", {})
+        merged_c.update(context)
+        context = merged_c
+
+    out = {"records": records, "context": context}
     os.makedirs(os.path.dirname(os.path.abspath(args.json_out)), exist_ok=True)
     with open(args.json_out, "w") as f:
         json.dump(out, f, indent=1)
