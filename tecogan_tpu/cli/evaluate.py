@@ -103,8 +103,11 @@ def main(argv=None):
                         "(data/scenes.py; reference dataloader.py:86-95 "
                         "uses torchvision bilinear) so held-out scores "
                         "measure the trained degradation, not a kernel "
-                        "mismatch. 'area' (INTER_AREA) kept for "
-                        "comparability with pre-r3 eval artifacts.")
+                        "mismatch. 'area' keeps the pre-r3 INTER_AREA "
+                        "kernel, but NOT the exact pre-r3 LR chain: LR "
+                        "now resizes the SOURCE frame (pre-r3 resized "
+                        "the already-resized HR stack), so scores are "
+                        "not directly comparable to synthetic_eval_r2.")
     p.add_argument("--vgg_ckpt", default=None,
                    help="converted VGG-19 .ckpt, or 'surrogate' for "
                         "fixed-seed random-feature weights")

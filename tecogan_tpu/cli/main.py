@@ -96,6 +96,15 @@ def run_inference(cfg: TecoConfig) -> None:
         dp_infer = build_dp_inference(cfg, mesh)
         params_rep = jax.device_put(params_g, replicated(mesh))
         print(f"data-parallel inference over {n_data} devices")
+        if qinfer is not None:
+            import warnings
+
+            warnings.warn(
+                "--quantize int8 is not wired into the data-parallel "
+                "inference path; DP-batched clips run the bf16 fast path "
+                "(use --data_axis 1 to force the quantized path).",
+                stacklevel=1,
+            )
         while done + n_data <= len(clips):
             chunk = clips[done : done + n_data]
             t0 = time.time()
@@ -130,6 +139,16 @@ def run_inference(cfg: TecoConfig) -> None:
         if chunk:
             if chunked is None:
                 chunked = build_chunked_inference(cfg)
+                if qinfer is not None:
+                    import warnings
+
+                    warnings.warn(
+                        "--quantize int8 is not wired into the chunked "
+                        "streaming path; long clips stream in bf16 "
+                        "(use --infer_chunk -1 to force the quantized "
+                        "one-shot path if the clip fits on device).",
+                        stacklevel=1,
+                    )
             out = os.path.join(
                 cfg.output_dir, f"{cfg.output_name}{idx}{cfg.videotype}"
             )
@@ -323,9 +342,12 @@ def run_train(cfg: TecoConfig) -> None:
             # DESIGN.md) and deprocess on device
             lr_nhwc = np.transpose(lr_clip, (0, 2, 3, 1))[None]
             if cfg.transfer_dtype == "u8":
-                lr_dev = jnp.asarray(
-                    np.rint(lr_nhwc * 255.0).astype(np.uint8))
-                lr_dev = lr_dev.astype(jnp.float32) * jnp.float32(1 / 255)
+                from ..ops.image import (
+                    transfer_dequantize_f32, transfer_quantize_u8,
+                )
+
+                lr_dev = transfer_dequantize_f32(
+                    jnp.asarray(transfer_quantize_u8(lr_nhwc)))
             else:
                 lr_dev = jnp.asarray(lr_nhwc)
             sr = np.asarray(val_infer(params_g, lr_dev)[0])
@@ -362,11 +384,13 @@ def run_train(cfg: TecoConfig) -> None:
                 # upload uint8, deprocess on device (engine/train.py):
                 # 4x fewer tunnel bytes + 4x less host memory lost to the
                 # remote client's per-transfer leak (DESIGN.md)
+                from ..ops.image import transfer_quantize_u8
+
                 def _to_u8(it):
                     for lr_b, hr_b in it:
                         yield (
-                            np.rint(lr_b * 255.0).astype(np.uint8),
-                            np.rint(hr_b * 255.0).astype(np.uint8),
+                            transfer_quantize_u8(lr_b),
+                            transfer_quantize_u8(hr_b),
                         )
 
                 raw_batches = _to_u8(raw_batches)
@@ -504,11 +528,18 @@ def run_train(cfg: TecoConfig) -> None:
             # (exit 75 = EX_TEMPFAIL; tools/run_convergence_r3.sh
             # restarts, --auto_resume continues the run).
             if cfg.rss_limit_gb > 0 and _host_rss_gb() > cfg.rss_limit_gb:
+                # epoch + 1: this epoch is COMPLETE, so the supervisor
+                # restart must continue at the next one.  (The normal
+                # checkpoint_every save keeps the reference's semantics —
+                # main.py:308 stores `epoch: e` and resume re-trains e —
+                # but the watchdog fires every restart; re-training one
+                # epoch per restart could make zero forward progress if
+                # the leak crosses the limit within a single epoch.)
                 save_train_state(cfg.output_dir, jax.device_get(state),
-                                 epoch, async_save=False)
+                                 epoch + 1, async_save=False)
                 writer.close()
                 print(f"RSS {_host_rss_gb():.1f} GB > limit "
-                      f"{cfg.rss_limit_gb:g} GB: checkpointed epoch "
+                      f"{cfg.rss_limit_gb:g} GB: checkpointed through epoch "
                       f"{epoch}, exiting 75 for supervisor restart",
                       flush=True)
                 raise SystemExit(75)

@@ -313,7 +313,11 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     def infer(params_g, lr_clip, chunk: int = 64, sink=None):
         import numpy as np
 
-        lr_clip = jnp.asarray(lr_clip)
+        # Keep the clip on HOST: device memory must stay O(chunk), not
+        # O(T) — a 10k-frame 270p clip is ~15 GB f32, more than a v5e
+        # chip.  Each window is sliced/padded in numpy and uploaded by
+        # the jitted window program itself.
+        lr_clip = np.asarray(lr_clip, dtype=np.float32)
         B, T, H, W, C = lr_clip.shape
         chunk = max(2, min(chunk, T))
         out = [] if sink is None else None
@@ -331,8 +335,8 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
             k = min(chunk, T - pos)
             window = lr_clip[:, pos : pos + k]
             if k < chunk:  # pad the tail window to the compiled width
-                pad = jnp.repeat(window[:, -1:], chunk - k, axis=1)
-                window = jnp.concatenate([window, pad], axis=1)
+                pad = np.repeat(window[:, -1:], chunk - k, axis=1)
+                window = np.concatenate([window, pad], axis=1)
             if carry is None:
                 carry, sr_chunk = head_fn(params_g, window)
             else:

@@ -110,9 +110,10 @@ def calibrate(params_g, net, dtype=jnp.float32):
     return feat, maxes
 
 
-def quantize_tail(params_g, act_maxes, compute_dtype=jnp.bfloat16):
+def quantize_tail(params_g, act_maxes):
     """Build the quantized-tail pytree: per layer
     {wq s8 HWIO, inv_s f32 scalar, deq f32 per-out-channel, bias|None}.
+    Scale/bias tables are f32; tail_features_int8 owns the compute dtype.
 
     inv_s = 127 / act_max (activation quant multiplier);
     deq = (act_max / 127) * (max|w[..,o]| / 127) (s32 -> float factor).

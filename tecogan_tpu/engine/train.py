@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import TecoConfig
+from ..ops.image import transfer_dequantize_f32
 from .losses import tecogan_losses, discriminator_loss
 from .state import TrainState, make_optimizers, model_defs
 
@@ -56,14 +57,12 @@ def _build_train_step(cfg: TecoConfig, vgg_apply=None, donate: bool = True):
         # "Host-memory leak in the remote-TPU client").  jit specializes
         # on input dtype, so f32 callers compile the exact same program
         # as before.
-        # deprocess semantic is x * f32(1/255), NOT x / 255: XLA lowers
-        # the division to a reciprocal multiply anyway, so defining it as
-        # the multiply makes host-vs-device results bit-identical
-        inv255 = jnp.float32(1.0 / 255.0)
+        # the u8<->f32 round-trip contract lives in ops/image.py
+        # (transfer_quantize_u8 / transfer_dequantize_f32)
         if lr_batch.dtype == jnp.uint8:
-            lr_batch = lr_batch.astype(jnp.float32) * inv255
+            lr_batch = transfer_dequantize_f32(lr_batch)
         if hr_batch.dtype == jnp.uint8:
-            hr_batch = hr_batch.astype(jnp.float32) * inv255
+            hr_batch = transfer_dequantize_f32(hr_batch)
         lr_now = sched(state.epoch)
 
         def gen_objective(params_g):

@@ -28,6 +28,22 @@ def deprocess_lr(image):
     return image
 
 
+def transfer_quantize_u8(x: np.ndarray) -> np.ndarray:
+    """HOST half of the --transfer_dtype u8 round trip: float [0,1] ->
+    uint8 via np.rint.  MUST stay paired with transfer_dequantize_f32 —
+    the rint-multiply here and the reciprocal multiply there are the
+    bit-parity contract for host-vs-device results (engine/train.py)."""
+    return np.rint(np.asarray(x) * 255.0).astype(np.uint8)
+
+
+def transfer_dequantize_f32(x):
+    """DEVICE half of the u8 transfer round trip: uint8 -> float [0,1]
+    as ``x * f32(1/255)`` (NOT x / 255 — XLA lowers the division to a
+    reciprocal multiply anyway; defining it as the multiply makes host
+    and device results bit-identical)."""
+    return x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+
+
 def to_uint8(frames: np.ndarray) -> np.ndarray:
     """float [0,1] -> uint8 with the reference's scale-then-truncate
     (save_as_gif, ops.py:234-237 does `*255` then astype)."""
