@@ -73,7 +73,8 @@ def score(sr: np.ndarray, hr: np.ndarray) -> dict:
     }
 
 
-def run_model(ckpt: str, lr_clip: np.ndarray, num_resblock: int) -> np.ndarray:
+def run_model(ckpt: str, lr_clip: np.ndarray, num_resblock: int,
+              int8: bool = False) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
@@ -89,8 +90,17 @@ def run_model(ckpt: str, lr_clip: np.ndarray, num_resblock: int) -> np.ndarray:
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 51), jnp.float32)
     )["params"]
     params = load_generator_params(ckpt, template)
+    clip = jnp.asarray(lr_clip)[None]
+    if int8:
+        from tecogan_tpu.engine.inference import (
+            build_quantized_clip_inference,
+        )
+
+        prepare_q, qinfer = build_quantized_clip_inference(cfg)
+        qtail = prepare_q(params, clip)
+        return np.asarray(qinfer(params, qtail, clip)[0])
     infer = build_clip_inference(cfg)
-    return np.asarray(infer(params, jnp.asarray(lr_clip)[None])[0])
+    return np.asarray(infer(params, clip)[0])
 
 
 def main(argv=None):
@@ -105,6 +115,10 @@ def main(argv=None):
                    help="force a jax backend (this image's sitecustomize "
                         "pre-imports jax with the remote-TPU plugin, so a "
                         "plain env var is too late)")
+    p.add_argument("--int8", action="store_true",
+                   help="also score the int8 (W8A8) serving path on the "
+                        "showcase clip, plus its PSNR vs the bf16 output "
+                        "(quantization fidelity on real content)")
     p.add_argument("--record_suffix", default="",
                    help="suffix for the model record keys (e.g. '_ft' for "
                         "a fine-tuned checkpoint); with a suffix, existing "
@@ -151,6 +165,14 @@ def main(argv=None):
         sr_spider = run_model(args.g_checkpoint, spider_lr, args.num_resblock)
         records["spider_ours" + sfx] = score(sr_spider, spider_hr)
         print("OUR model (spider):", records["spider_ours" + sfx])
+
+        if args.int8:
+            sr8 = run_model(args.g_checkpoint, lr, args.num_resblock,
+                            int8=True)
+            records["ours_int8_vs_real" + sfx] = score(sr8, hr)
+            records["ours_int8_vs_bf16" + sfx] = score(sr8, sr)
+            print("OUR int8          :", records["ours_int8_vs_real" + sfx])
+            print("int8 vs bf16      :", records["ours_int8_vs_bf16" + sfx])
 
     context = {
         "source": "reference-shipped media (original/real/gan.gif, "
