@@ -139,26 +139,24 @@ def run_inference(cfg: TecoConfig) -> None:
         if chunk:
             if chunked is None:
                 chunked = build_chunked_inference(cfg)
-                if qinfer is not None:
-                    import warnings
-
-                    warnings.warn(
-                        "--quantize int8 is not wired into the chunked "
-                        "streaming path; long clips stream in bf16 "
-                        "(use --infer_chunk -1 to force the quantized "
-                        "one-shot path if the clip fits on device).",
-                        stacklevel=1,
-                    )
+            if qinfer is not None and qtail is None:
+                # calibrate once on the first clip served (same policy
+                # as the one-shot quantized path below)
+                qtail = prepare_q(params_g, jnp.asarray(clip[:8])[None])
+                print("int8: activation scales calibrated on clip "
+                      f"{idx} (first 8 frames)")
             out = os.path.join(
                 cfg.output_dir, f"{cfg.output_name}{idx}{cfg.videotype}"
             )
             with MediaWriter(out) as w:
                 chunked(params_g, clip[None], chunk=chunk,
-                        sink=lambda sr: w.append(sr[0]))
+                        sink=lambda sr: w.append(sr[0]),
+                        qtail=qtail if qinfer is not None else None)
             dt = time.time() - t0
             print(
                 f"clip {idx}: {clip.shape[0]} frames "
-                f"{clip.shape[1]}x{clip.shape[2]} -> 4x STREAMED "
+                f"{clip.shape[1]}x{clip.shape[2]} -> 4x STREAMED"
+                f"{' int8' if qinfer is not None else ''} "
                 f"(window {chunk}) in {dt:.2f}s "
                 f"({clip.shape[0] / dt:.1f} fps) -> {out}"
             )

@@ -211,10 +211,13 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     recurrent (SR, prev-LR) state between windows, hand each finished SR
     window to the host.
 
-    Returns ``infer(params_g, lr_clip, chunk=64, sink=None)``:
+    Returns ``infer(params_g, lr_clip, chunk=64, sink=None, qtail=None)``:
       * lr_clip: (B, T, H, W, 3) float [0,1] (numpy or jax)
       * per-frame math is IDENTICAL to build_clip_inference (same scan
         body), so chunked == one-shot output
+      * qtail: optional quantized-tail pytree (engine/quant.py) — the
+        windows then run the int8 (W8A8) tail, bit-equal to the one-shot
+        build_quantized_clip_inference path; s2d fast path only
       * sink=None: returns the assembled (B, T, 4H, 4W, 3) f32 numpy clip
       * sink=callable: called with each (B, K, 4H, 4W, 3) f32 numpy SR
         window in order; returns None (host memory O(chunk) too — pair
@@ -232,11 +235,25 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
         gen_fast = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
 
-    def make_body(params_g):
+    def _tail_fn(params_g, qtail):
+        """int8 tail closure for the quantized chunked path (s2d only)."""
+        if qtail is None:
+            return None
+        from .quant import tail_features_int8
+
+        def tail_fn(net):
+            return tail_features_int8(params_g, qtail, net,
+                                      compute_dtype=gen_fast.dtype)
+
+        return tail_fn
+
+    def make_body(params_g, qtail=None):
         """Per-frame body — the SAME math as build_clip_inference's scan
         body, with prev_lr carried instead of pre-stacked."""
         if use_s2d_carry:
             from .fused import fused_sr_step_s2d
+
+            tail_fn = _tail_fn(params_g, qtail)
 
             def body(carry, cur_lr):
                 prev_sr, prev_lr = carry
@@ -244,10 +261,13 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                     gen_fast, {"params": params_g}, params_g, prev_sr,
                     prev_lr, cur_lr,
                     unroll_streams=cfg.gather_unroll_streams,
+                    tail_fn=tail_fn,
                 )
                 return (sr, cur_lr), sr
         elif use_fused:
             from .fused import fused_sr_step
+
+            assert qtail is None, "int8 tail requires the s2d carry path"
 
             def body(carry, cur_lr):
                 prev_sr, prev_lr = carry
@@ -259,6 +279,8 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 )
                 return (sr, cur_lr), sr
         else:
+            assert qtail is None, "int8 tail requires the s2d carry path"
+
             def body(carry, cur_lr):
                 prev_sr, prev_lr = carry
                 sr = sr_step(gen, params_g, prev_sr, prev_lr, cur_lr,
@@ -266,13 +288,15 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 return (sr, cur_lr), sr
         return body
 
-    def _first(params_g, lr0):
+    def _first(params_g, lr0, qtail=None):
         if use_s2d_carry:
             from .fused import fused_first_frame_s2d
 
             return fused_first_frame_s2d(
-                gen_fast, {"params": params_g}, params_g, lr0
+                gen_fast, {"params": params_g}, params_g, lr0,
+                tail_fn=_tail_fn(params_g, qtail),
             )
+        assert qtail is None, "int8 tail requires the s2d carry path"
         if use_fused:
             from .fused import fused_first_frame
 
@@ -290,27 +314,30 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
             sr = s2d_to_frame(sr)
         return sr.astype(jnp.float32)
 
-    def head_fn(params_g, lr_chunk):
+    def head_fn(params_g, lr_chunk, qtail=None):
         """First window: frame 0 cold start + warm scan over the rest."""
-        body = make_body(params_g)
-        sr0 = _first(params_g, lr_chunk[:, 0])
+        body = make_body(params_g, qtail)
+        sr0 = _first(params_g, lr_chunk[:, 0], qtail)
         frames = jnp.moveaxis(lr_chunk, 1, 0)
         carry, rest = jax.lax.scan(body, (sr0, lr_chunk[:, 0]), frames[1:])
         sr_chunk = _to_frames(jnp.concatenate([sr0[None], rest], axis=0))
         return carry, sr_chunk
 
-    def cont_fn(params_g, carry, lr_chunk):
+    def cont_fn(params_g, carry, lr_chunk, qtail=None):
         """Continuation window: warm scan with the carried state."""
-        body = make_body(params_g)
+        body = make_body(params_g, qtail)
         frames = jnp.moveaxis(lr_chunk, 1, 0)
         carry, srs = jax.lax.scan(body, carry, frames)
         return carry, _to_frames(srs)
 
     if cfg.jit:
+        # qtail=None vs a pytree changes the traced program; jit caches
+        # both specializations under static_argnums-free dispatch because
+        # None is a pytree leaf-less container.
         head_fn = jax.jit(head_fn)
         cont_fn = jax.jit(cont_fn, donate_argnums=(1,))
 
-    def infer(params_g, lr_clip, chunk: int = 64, sink=None):
+    def infer(params_g, lr_clip, chunk: int = 64, sink=None, qtail=None):
         import numpy as np
 
         # Keep the clip on HOST: device memory must stay O(chunk), not
@@ -338,9 +365,9 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 pad = np.repeat(window[:, -1:], chunk - k, axis=1)
                 window = np.concatenate([window, pad], axis=1)
             if carry is None:
-                carry, sr_chunk = head_fn(params_g, window)
+                carry, sr_chunk = head_fn(params_g, window, qtail)
             else:
-                carry, sr_chunk = cont_fn(params_g, carry, window)
+                carry, sr_chunk = cont_fn(params_g, carry, window, qtail)
             emit(sr_chunk, k)
             pos += k
         if sink is None:

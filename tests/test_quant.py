@@ -105,6 +105,26 @@ def test_quantized_clip_inference_vs_bf16(rng):
     assert all(l["wq"].dtype == jnp.int8 for l in qtail.values())
 
 
+def test_quantized_chunked_matches_one_shot(rng):
+    """The chunked streaming path with a qtail must be BIT-equal to the
+    one-shot quantized path (same per-frame math, windows only change
+    the schedule) — the CLI's long-clip --quantize int8 route."""
+    from tecogan_tpu.engine.inference import build_chunked_inference
+
+    cfg = small_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    clip = jnp.asarray(rng.random((1, 7, 8, 8, 3)).astype(np.float32))
+
+    prepare, infer = build_quantized_clip_inference(cfg)
+    qtail = prepare(state.params_g, clip, frames=4)
+    sr_one = np.asarray(infer(state.params_g, qtail, clip))
+
+    chunked = build_chunked_inference(cfg)
+    sr_chunked = chunked(state.params_g, clip, chunk=3, qtail=qtail)
+    assert sr_chunked.shape == sr_one.shape
+    assert float(np.max(np.abs(sr_chunked - sr_one))) == 0.0
+
+
 def test_quantized_requires_fast_path():
     import pytest
 

@@ -129,6 +129,8 @@ def main():
         "--bug_parity", "False", "--quantize", "int8",
         "--g_checkpoint", os.path.join(ck, "generator.ckpt"),
         "--output_dir", out_q, "--data_axis", "1",
+        # force the chunked route so the drive covers STREAMED int8
+        "--infer_chunk", "5",
     ])
     outs = os.listdir(out_q)
     print("cli int8 inference:", outs)
