@@ -69,6 +69,15 @@ def main():
     ap.add_argument("--num_resblock", type=int, default=16)
     ap.add_argument("--check", action="store_true",
                     help="deserialize and assert bit-equality vs live")
+    ap.add_argument("--quantize", default="none", choices=["none", "int8"],
+                    help="int8: also export head_q/cont_q window programs "
+                    "with the W8A8 generator tail, plus the calibrated "
+                    "qtail values (qtail.npz) so the artifact is "
+                    "self-contained")
+    ap.add_argument("--calib_dir", default=None,
+                    help="directory of frames (pngs) to calibrate int8 "
+                    "activation scales on; synthetic moving scene if "
+                    "omitted (prefer real serving content)")
     args = ap.parse_args()
 
     cfg = TecoConfig(precision=args.precision, num_resblock=args.num_resblock,
@@ -110,10 +119,67 @@ def main():
                     "cont(params, carry, lr_window) -> (carry, sr_window); "
                     "pad the tail window with its last frame and trim.",
     }
+    qtail = None
+    if args.quantize == "int8":
+        from tecogan_tpu.engine.inference import (
+            build_quantized_clip_inference,
+        )
+
+        if args.calib_dir:
+            import cv2
+
+            files = sorted(
+                f for f in os.listdir(args.calib_dir)
+                if f.lower().endswith((".png", ".jpg", ".jpeg"))
+            )[:8]
+            frames = [
+                cv2.cvtColor(
+                    cv2.imread(os.path.join(args.calib_dir, f)),
+                    cv2.COLOR_BGR2RGB,
+                ) for f in files
+            ]
+            calib = np.stack([
+                cv2.resize(fr, (W, H), interpolation=cv2.INTER_AREA)
+                for fr in frames
+            ]).astype(np.float32) / 255.0
+        else:
+            from tecogan_tpu.data.synthetic import moving_rect_scene
+
+            calib = moving_rect_scene(num_frames=8, height=H, width=W)
+            print("int8: calibrating on a synthetic moving scene "
+                  "(--calib_dir with real serving content preferred)")
+        calib = jnp.asarray(np.broadcast_to(calib[None], (B,) + calib.shape))
+
+        prepare, _ = build_quantized_clip_inference(cfg, gen)
+        qtail = prepare(params_g, calib, frames=8)
+        qtail_spec = _spec_tree(qtail)
+        head_q = jax_export.export(infer.head_fn)(params_spec, lr_spec,
+                                                  qtail_spec)
+        cont_q = jax_export.export(infer.cont_fn)(params_spec, carry_spec,
+                                                  lr_spec, qtail_spec)
+        with open(os.path.join(args.out, "head_q.stablehlo"), "wb") as f:
+            f.write(head_q.serialize())
+        with open(os.path.join(args.out, "cont_q.stablehlo"), "wb") as f:
+            f.write(cont_q.serialize())
+        flat, _ = jax.tree_util.tree_flatten_with_path(qtail)
+        np.savez(
+            os.path.join(args.out, "qtail.npz"),
+            **{jax.tree_util.keystr(p): np.asarray(l) for p, l in flat
+               if l is not None},
+        )
+        manifest["qtail"] = _manifest_spec(
+            jax.tree_util.tree_map(lambda x: x, qtail))
+        manifest["protocol_q"] = (
+            "head_q(params, lr_window, qtail) -> (carry, sr_window); "
+            "cont_q(params, carry, lr_window, qtail) -> (carry, "
+            "sr_window); qtail values in qtail.npz keyed by tree path "
+            "(biases may be absent: second resblock convs have none)."
+        )
+
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     sizes = {n: os.path.getsize(os.path.join(args.out, n))
-             for n in ("head.stablehlo", "cont.stablehlo")}
+             for n in os.listdir(args.out) if n.endswith(".stablehlo")}
     print(f"exported to {args.out} ({sizes}, platforms={manifest['platforms']})")
 
     if args.check:
@@ -136,6 +202,19 @@ def main():
         np.testing.assert_array_equal(np.asarray(sr2_l), np.asarray(sr2_r))
         print(f"check ok: head+cont bit-equal vs live; cont window "
               f"({K} frames) {dt*1e3:.1f} ms cold")
+
+        if qtail is not None:
+            with open(os.path.join(args.out, "head_q.stablehlo"), "rb") as f:
+                head_q_rt = jax_export.deserialize(f.read())
+            with open(os.path.join(args.out, "cont_q.stablehlo"), "rb") as f:
+                cont_q_rt = jax_export.deserialize(f.read())
+            carry_l, sr1_l = infer.head_fn(params_g, lr1, qtail)
+            carry_r, sr1_r = head_q_rt.call(params_g, lr1, qtail)
+            np.testing.assert_array_equal(np.asarray(sr1_l), np.asarray(sr1_r))
+            _, sr2_l = infer.cont_fn(params_g, carry_l, lr2, qtail)
+            _, sr2_r = cont_q_rt.call(params_g, carry_r, lr2, qtail)
+            np.testing.assert_array_equal(np.asarray(sr2_l), np.asarray(sr2_r))
+            print("check ok: head_q+cont_q (int8 tail) bit-equal vs live")
 
 
 if __name__ == "__main__":
