@@ -290,3 +290,19 @@ def test_rss_watchdog_checkpoints_and_exits_75(cli_workspace):
     assert "exiting 75 for supervisor restart" in r.stdout
     assert os.path.exists(os.path.join(out_dir, "generator.ckpt"))
     assert os.path.exists(os.path.join(out_dir, "discrim.ckpt"))
+
+    # supervisor restart must make FORWARD progress: the watchdog saves
+    # epoch+1 (the fired epoch is complete), so the relaunch resumes at
+    # the NEXT epoch instead of re-training the same one forever when
+    # the leak crosses the limit within a single epoch
+    r2 = run_cli(
+        ["--mode", "train", "--input_video_dir", data,
+         "--str_dir", "1000", "--end_dir", "1000",
+         "--output_dir", out_dir, "--summary_dir", str(root / "wd_sum"),
+         "--max_epochs", "5", "--rss_limit_gb", "0.05",
+         "--transfer_dtype", "u8", "--auto_resume", "True"] + FAST_FLAGS,
+        cwd=str(root),
+    )
+    assert r2.returncode == 75, (r2.returncode, r2.stderr[-2000:])
+    assert "auto-resumed from epoch 1" in r2.stdout, r2.stdout[-2000:]
+    assert "Epoch: 2" in r2.stdout, r2.stdout[-2000:]
