@@ -29,6 +29,11 @@ def main(argv=None) -> None:
     p.add_argument("--frames", type=int, default=-1,
                    help="stop after N frames (-1: until q/EOF)")
     p.add_argument("--display", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--fast", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fused s2d fast path (the 38-fps production "
+                        "pipeline); --no-fast keeps the exact "
+                        "reference-shaped per-frame math")
     p.add_argument("--output", default="",
                    help="optional mp4 path to record the SR stream")
     args = p.parse_args(argv)
@@ -42,7 +47,8 @@ def main(argv=None) -> None:
     from ..utils.checkpoint import load_generator_params
     from ..ops.image import to_uint8
 
-    cfg = TecoConfig(crop_size=args.crop_size, num_resblock=args.num_resblock)
+    cfg = TecoConfig(crop_size=args.crop_size, num_resblock=args.num_resblock,
+                     bug_parity=not args.fast)
     state0 = init_state(cfg, jax.random.PRNGKey(0))
     params_g = load_generator_params(args.g_checkpoint, state0.params_g)
     init_fn, step_fn = build_stream_inference(cfg)

@@ -382,9 +382,13 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
 
 class StreamState(NamedTuple):
-    """Carried state for streaming inference (experimental/live.py)."""
+    """Carried state for streaming inference (experimental/live.py).
 
-    prev_sr: jnp.ndarray  # (B, 4H, 4W, 3)
+    ``prev_sr`` is the carried SR state: (B, 4H, 4W, 3) f32 on the exact
+    path, (B, H, W, 48) bf16 space-to-depth layout on the fused fast
+    path (the same carry the scan paths use) — treat it as opaque."""
+
+    prev_sr: jnp.ndarray
     prev_lr: jnp.ndarray  # (B, H, W, 3)
     initialized: jnp.ndarray  # scalar bool
 
@@ -394,34 +398,111 @@ def build_stream_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
     step_fn(params, state, lr_frame) -> (new_state, sr_frame); the first
     call runs the zero-feedback path, later calls the warp-feedback path —
-    one compiled program via lax.cond.
+    one compiled program via lax.cond.  Per-frame math matches
+    build_clip_inference for the same cfg (exact path under bug_parity,
+    the fused s2d fast path otherwise), so a stream of frames reproduces
+    the scan output bit-for-bit.
     """
     if gen is None:
         gen, _ = _default_models(cfg)
 
-    def init_fn(lr_shape) -> StreamState:
-        B, H, W, C = lr_shape
-        return StreamState(
-            prev_sr=jnp.zeros((B, 4 * H, 4 * W, 3), jnp.float32),
-            prev_lr=jnp.zeros((B, H, W, C), jnp.float32),
-            initialized=jnp.zeros((), jnp.bool_),
+    use_fused = cfg.use_pallas and not cfg.bug_parity
+    use_s2d_carry = use_fused and cfg.warp_group == 4
+    if use_fused:
+        import dataclasses
+
+        gen_fast = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
+
+    if use_s2d_carry:
+        from .fused import (
+            fused_first_frame_s2d, fused_sr_step_s2d, s2d_to_frame,
         )
 
-    def step_fn(params_g, state: StreamState, lr_frame):
-        def cold(_):
-            return first_frame(gen, params_g, lr_frame)
-
-        def warm(_):
-            return sr_step(
-                gen, params_g, state.prev_sr, state.prev_lr, lr_frame,
-                parity_half=cfg.bug_parity,
+        def init_fn(lr_shape) -> StreamState:
+            B, H, W, C = lr_shape
+            return StreamState(
+                prev_sr=jnp.zeros((B, H, W, 48), jnp.bfloat16),  # s2d
+                prev_lr=jnp.zeros((B, H, W, C), jnp.float32),
+                initialized=jnp.zeros((), jnp.bool_),
             )
 
-        sr = jax.lax.cond(state.initialized, warm, cold, None)
-        new_state = StreamState(
-            prev_sr=sr, prev_lr=lr_frame, initialized=jnp.ones((), jnp.bool_)
-        )
-        return new_state, sr
+        def step_fn(params_g, state: StreamState, lr_frame):
+            def cold(_):
+                return fused_first_frame_s2d(
+                    gen_fast, {"params": params_g}, params_g, lr_frame
+                )
+
+            def warm(_):
+                return fused_sr_step_s2d(
+                    gen_fast, {"params": params_g}, params_g,
+                    state.prev_sr, state.prev_lr, lr_frame,
+                    unroll_streams=cfg.gather_unroll_streams,
+                )
+
+            sr = jax.lax.cond(state.initialized, warm, cold, None)
+            new_state = StreamState(
+                prev_sr=sr, prev_lr=lr_frame,
+                initialized=jnp.ones((), jnp.bool_),
+            )
+            return new_state, s2d_to_frame(sr).astype(jnp.float32)
+
+    elif use_fused:
+        from .fused import fused_first_frame, fused_sr_step
+
+        def init_fn(lr_shape) -> StreamState:
+            B, H, W, C = lr_shape
+            return StreamState(
+                prev_sr=jnp.zeros((B, 4 * H, 4 * W, 3), gen_fast.out_dtype),
+                prev_lr=jnp.zeros((B, H, W, C), jnp.float32),
+                initialized=jnp.zeros((), jnp.bool_),
+            )
+
+        def step_fn(params_g, state: StreamState, lr_frame):
+            def cold(_):
+                return fused_first_frame(
+                    gen_fast, {"params": params_g}, params_g, lr_frame
+                )
+
+            def warm(_):
+                return fused_sr_step(
+                    gen_fast, {"params": params_g}, params_g,
+                    state.prev_sr, state.prev_lr, lr_frame,
+                    parity_half=False, warp_group=cfg.warp_group,
+                    unroll_streams=cfg.gather_unroll_streams,
+                )
+
+            sr = jax.lax.cond(state.initialized, warm, cold, None)
+            new_state = StreamState(
+                prev_sr=sr, prev_lr=lr_frame,
+                initialized=jnp.ones((), jnp.bool_),
+            )
+            return new_state, sr.astype(jnp.float32)
+
+    else:
+        def init_fn(lr_shape) -> StreamState:
+            B, H, W, C = lr_shape
+            return StreamState(
+                prev_sr=jnp.zeros((B, 4 * H, 4 * W, 3), jnp.float32),
+                prev_lr=jnp.zeros((B, H, W, C), jnp.float32),
+                initialized=jnp.zeros((), jnp.bool_),
+            )
+
+        def step_fn(params_g, state: StreamState, lr_frame):
+            def cold(_):
+                return first_frame(gen, params_g, lr_frame)
+
+            def warm(_):
+                return sr_step(
+                    gen, params_g, state.prev_sr, state.prev_lr, lr_frame,
+                    parity_half=cfg.bug_parity,
+                )
+
+            sr = jax.lax.cond(state.initialized, warm, cold, None)
+            new_state = StreamState(
+                prev_sr=sr, prev_lr=lr_frame,
+                initialized=jnp.ones((), jnp.bool_),
+            )
+            return new_state, sr
 
     return init_fn, (jax.jit(step_fn) if cfg.jit else step_fn)
 
