@@ -84,6 +84,26 @@ def test_stream_matches_scan_fused(rng):
     assert float(np.max(np.abs(np.stack(outs, axis=1) - np.asarray(sr)))) == 0.0
 
 
+def test_stream_matches_scan_fused_nhwc(rng):
+    """The warp_group != 4 fused fallback (NHWC carry) stream must also
+    match its scan path bit-for-bit."""
+    cfg = small_cfg(bug_parity=False, warp_group=2)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    infer = build_clip_inference(cfg)
+    init_fn, step = build_stream_inference(cfg)
+
+    clip = jnp.asarray(rng.random((1, 4, 8, 8, 3)).astype(np.float32))
+    sr = infer(state.params_g, clip)
+
+    s = init_fn((1, 8, 8, 3))
+    assert s.prev_sr.shape == (1, 32, 32, 3)  # NHWC carry
+    outs = []
+    for t in range(4):
+        s, frame = step(state.params_g, s, clip[:, t])
+        outs.append(np.asarray(frame))
+    assert float(np.max(np.abs(np.stack(outs, axis=1) - np.asarray(sr)))) == 0.0
+
+
 def test_inference_matches_training_unroll(rng):
     """The inference scan must produce the same frames as the training
     engine's unroll (same recurrence: main.py:173-216 vs train.py:86-111)."""
