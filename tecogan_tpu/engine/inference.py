@@ -356,8 +356,15 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
             else:
                 sink(sr_np)
 
+        # Software-pipelined dispatch: window i+1 is dispatched BEFORE
+        # window i's output is fetched, so the device computes the next
+        # window while the host does the D2H transfer + sink encode of
+        # the previous one (jax dispatch is async; the blocking point is
+        # np.asarray in emit).  Costs one extra in-flight SR window on
+        # device — memory stays O(chunk).  Emit order is unchanged.
         carry = None
         pos = 0
+        pending = None
         while pos < T:
             k = min(chunk, T - pos)
             window = lr_clip[:, pos : pos + k]
@@ -368,8 +375,11 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
                 carry, sr_chunk = head_fn(params_g, window, qtail)
             else:
                 carry, sr_chunk = cont_fn(params_g, carry, window, qtail)
-            emit(sr_chunk, k)
+            if pending is not None:
+                emit(*pending)
+            pending = (sr_chunk, k)
             pos += k
+        emit(*pending)
         if sink is None:
             return np.concatenate(out, axis=1)
         return None
