@@ -138,18 +138,29 @@ def run_inference(cfg: TecoConfig) -> None:
         t0 = time.time()
         if chunk:
             if chunked is None:
-                chunked = build_chunked_inference(cfg)
+                # SR windows come back uint8, converted ON DEVICE —
+                # bit-identical to what MediaWriter would write from f32
+                # windows (ops.image.transfer_to_uint8), 4x fewer
+                # device->host bytes on the dominant transfer.
+                chunked = build_chunked_inference(cfg, out_u8=True)
             if qinfer is not None and qtail is None:
                 # calibrate once on the first clip served (same policy
                 # as the one-shot quantized path below)
                 qtail = prepare_q(params_g, jnp.asarray(clip[:8])[None])
                 print("int8: activation scales calibrated on clip "
                       f"{idx} (first 8 frames)")
+            clip_up = clip[None]
+            if cfg.transfer_dtype == "u8":
+                # opt-in (exactly like training): 4x fewer upload bytes,
+                # LR quantized to the 1/255 grid on the way in
+                from ..ops.image import transfer_quantize_u8
+
+                clip_up = transfer_quantize_u8(clip_up)
             out = os.path.join(
                 cfg.output_dir, f"{cfg.output_name}{idx}{cfg.videotype}"
             )
             with MediaWriter(out) as w:
-                chunked(params_g, clip[None], chunk=chunk,
+                chunked(params_g, clip_up, chunk=chunk,
                         sink=lambda sr: w.append(sr[0]),
                         qtail=qtail if qinfer is not None else None)
             dt = time.time() - t0

@@ -130,13 +130,13 @@ class TecoConfig:
     # window size (device + host memory O(window), any clip length)
     quantize: str = ""  # "int8": W8A8 quantized generator tail for
     # serving (engine/quant.py) — activation scales calibrated on the
-    # first clip; applies to the one-shot clip path (DP/chunked stay
-    # bf16); requires bug_parity=False
-    transfer_dtype: str = "f32"  # "u8": upload train batches as uint8
-    # and deprocess on device — 4x fewer H2D bytes over a remote link
-    # AND 4x less host memory lost to per-transfer client leaks
-    # (DESIGN.md).  Quantizes augmented pixels to 1/255 (the PNGs'
-    # native grid); keep f32 for bit-parity runs.
+    # first clip; applies to the one-shot AND chunked-streaming clip
+    # paths (DP stays bf16); requires bug_parity=False
+    transfer_dtype: str = "f32"  # "u8": upload train batches (and
+    # chunked-inference LR windows) as uint8, deprocess on device — 4x
+    # fewer H2D bytes over a remote link AND 4x less host memory lost to
+    # per-transfer client leaks (DESIGN.md).  Quantizes augmented pixels
+    # to 1/255 (the PNGs' native grid); keep f32 for bit-parity runs.
     rss_limit_gb: float = 0.0  # >0: at epoch end, if host RSS exceeds
     # this, checkpoint and exit(75) for a supervisor restart (leaking
     # remote-TPU clients; auto_resume picks the run back up).  0 = off.

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 
 from ..config import TecoConfig
 from ..models import Generator
-from ..ops.image import nhwc_to_nchw, deprocess
+from ..ops.image import (
+    nhwc_to_nchw, deprocess, transfer_dequantize_f32, transfer_to_uint8,
+)
 from ..ops.resize import upscale_four
 from ..ops.space import space_to_depth
 from ..ops.warp import grid_sample
@@ -59,10 +61,21 @@ def first_frame(gen, params_g, lr0_nhwc):
     return gen.apply({"params": params_g}, inp)
 
 
+def _dequant_in(lr):
+    """uint8 input -> f32 [0,1] on device (the --transfer_dtype u8 round
+    trip, ops/image.py); f32 input passes through — the dtype check is a
+    trace-time constant, so f32 callers compile the identical program as
+    before and u8 callers get their own specialization."""
+    if lr.dtype == jnp.uint8:
+        return transfer_dequantize_f32(lr)
+    return lr
+
+
 def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     """Returns jitted ``infer(params_g, lr_clip) -> sr_clip``.
 
-    lr_clip: (B, T, H, W, 3) NHWC float [0,1];
+    lr_clip: (B, T, H, W, 3) NHWC float [0,1], or uint8 (uploaded 4x
+    cheaper, dequantized on device — transfer_quantize_u8 contract);
     sr_clip: (B, T, 4H, 4W, 3).
     """
     if gen is None:
@@ -81,6 +94,7 @@ def build_clip_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
         gen_fast = dataclasses.replace(gen, out_dtype=jnp.bfloat16)
 
     def infer(params_g, lr_clip):
+        lr_clip = _dequant_in(lr_clip)
         B, T, H, W, C = lr_clip.shape
         frames = jnp.moveaxis(lr_clip, 1, 0)  # (T, B, H, W, 3)
 
@@ -179,6 +193,7 @@ def build_quantized_clip_inference(cfg: TecoConfig,
             return tail_features_int8(params_g, qtail, net,
                                       compute_dtype=gen_fast.dtype)
 
+        lr_clip = _dequant_in(lr_clip)
         frames = jnp.moveaxis(lr_clip, 1, 0)
         sr0 = fused_first_frame_s2d(
             gen_fast, {"params": params_g}, params_g, lr_clip[:, 0],
@@ -199,7 +214,8 @@ def build_quantized_clip_inference(cfg: TecoConfig,
     return prepare, (jax.jit(infer) if cfg.jit else infer)
 
 
-def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
+def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None,
+                            out_u8: bool = False):
     """O(chunk)-device-memory inference for long clips (VERDICT r2
     Missing #2).
 
@@ -212,7 +228,9 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
     window to the host.
 
     Returns ``infer(params_g, lr_clip, chunk=64, sink=None, qtail=None)``:
-      * lr_clip: (B, T, H, W, 3) float [0,1] (numpy or jax)
+      * lr_clip: (B, T, H, W, 3) float [0,1] (numpy or jax), or uint8
+        (transfer_quantize_u8 contract — windows upload 4x cheaper and
+        dequantize on device; quantizes the LR input to the 1/255 grid)
       * per-frame math is IDENTICAL to build_clip_inference (same scan
         body), so chunked == one-shot output
       * qtail: optional quantized-tail pytree (engine/quant.py) — the
@@ -222,6 +240,10 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
       * sink=callable: called with each (B, K, 4H, 4W, 3) f32 numpy SR
         window in order; returns None (host memory O(chunk) too — pair
         with ops.image.MediaWriter for incremental encoding)
+      * out_u8=True (build-time): windows convert to uint8 ON DEVICE —
+        bit-identical to to_uint8 of the f32 windows (transfer_to_uint8)
+        at 4x fewer device->host bytes; sink / the assembled clip then
+        receive uint8.  Lossless for media writing (media is u8 anyway).
       * a partial final window is padded with its last frame and trimmed
         after, so exactly two programs compile regardless of T.
     """
@@ -306,16 +328,20 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
         return first_frame(gen, params_g, lr0)
 
     def _to_frames(sr_stack):
-        """(K, B, ...) scan stack -> (B, K, 4H, 4W, 3) f32."""
+        """(K, B, ...) scan stack -> (B, K, 4H, 4W, 3) f32 (or u8)."""
         sr = jnp.moveaxis(sr_stack, 0, 1)
         if use_s2d_carry:
             from .fused import s2d_to_frame
 
             sr = s2d_to_frame(sr)
-        return sr.astype(jnp.float32)
+        sr = sr.astype(jnp.float32)
+        if out_u8:
+            sr = transfer_to_uint8(sr)
+        return sr
 
     def head_fn(params_g, lr_chunk, qtail=None):
         """First window: frame 0 cold start + warm scan over the rest."""
+        lr_chunk = _dequant_in(lr_chunk)
         body = make_body(params_g, qtail)
         sr0 = _first(params_g, lr_chunk[:, 0], qtail)
         frames = jnp.moveaxis(lr_chunk, 1, 0)
@@ -325,6 +351,7 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
 
     def cont_fn(params_g, carry, lr_chunk, qtail=None):
         """Continuation window: warm scan with the carried state."""
+        lr_chunk = _dequant_in(lr_chunk)
         body = make_body(params_g, qtail)
         frames = jnp.moveaxis(lr_chunk, 1, 0)
         carry, srs = jax.lax.scan(body, carry, frames)
@@ -343,8 +370,11 @@ def build_chunked_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
         # Keep the clip on HOST: device memory must stay O(chunk), not
         # O(T) — a 10k-frame 270p clip is ~15 GB f32, more than a v5e
         # chip.  Each window is sliced/padded in numpy and uploaded by
-        # the jitted window program itself.
-        lr_clip = np.asarray(lr_clip, dtype=np.float32)
+        # the jitted window program itself (uint8 clips stay uint8 —
+        # 4x fewer upload bytes, device-side dequant).
+        lr_clip = np.asarray(lr_clip)
+        if lr_clip.dtype != np.uint8:
+            lr_clip = lr_clip.astype(np.float32)
         B, T, H, W, C = lr_clip.shape
         chunk = max(2, min(chunk, T))
         out = [] if sink is None else None
@@ -437,6 +467,8 @@ def build_stream_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
             )
 
         def step_fn(params_g, state: StreamState, lr_frame):
+            lr_frame = _dequant_in(lr_frame)
+
             def cold(_):
                 return fused_first_frame_s2d(
                     gen_fast, {"params": params_g}, params_g, lr_frame
@@ -468,6 +500,8 @@ def build_stream_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
             )
 
         def step_fn(params_g, state: StreamState, lr_frame):
+            lr_frame = _dequant_in(lr_frame)
+
             def cold(_):
                 return fused_first_frame(
                     gen_fast, {"params": params_g}, params_g, lr_frame
@@ -498,6 +532,8 @@ def build_stream_inference(cfg: TecoConfig, gen: Optional[Generator] = None):
             )
 
         def step_fn(params_g, state: StreamState, lr_frame):
+            lr_frame = _dequant_in(lr_frame)
+
             def cold(_):
                 return first_frame(gen, params_g, lr_frame)
 

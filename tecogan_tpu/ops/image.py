@@ -46,9 +46,23 @@ def transfer_dequantize_f32(x):
 
 def to_uint8(frames: np.ndarray) -> np.ndarray:
     """float [0,1] -> uint8 with the reference's scale-then-truncate
-    (save_as_gif, ops.py:234-237 does `*255` then astype)."""
-    arr = np.asarray(frames, dtype=np.float32) * 255.0
+    (save_as_gif, ops.py:234-237 does `*255` then astype).  uint8 input
+    passes through unchanged (already-converted device output,
+    transfer_to_uint8)."""
+    arr = np.asarray(frames)
+    if arr.dtype == np.uint8:
+        return arr
+    arr = arr.astype(np.float32) * 255.0
     return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+def transfer_to_uint8(x):
+    """DEVICE half of to_uint8: ``clip(x * 255, 0, 255).astype(u8)`` in
+    f32 on device — bit-identical to fetching f32 and calling to_uint8 on
+    host (same IEEE multiply, same truncating float->int convert), at 4x
+    fewer device->host bytes.  Used by the chunked inference sink path."""
+    x = x.astype(jnp.float32) * jnp.float32(255.0)
+    return jnp.clip(x, 0.0, 255.0).astype(jnp.uint8)
 
 
 def save_as_media(frames_thwc: np.ndarray, filepath: str, fps: int = 24) -> None:

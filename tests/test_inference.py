@@ -223,3 +223,68 @@ def test_aot_export_roundtrip(tmp_path, rng):
     _, sr2_l = infer.cont_fn(state.params_g, c_l, lr2)
     _, sr2_r = cont_rt.call(state.params_g, c_r, lr2)
     np.testing.assert_array_equal(np.asarray(sr2_l), np.asarray(sr2_r))
+
+
+def test_u8_transfer_inference_bitparity(rng):
+    """uint8 LR upload (transfer_quantize_u8 contract): the one-shot and
+    chunked paths fed the SAME u8 clip must agree bit-for-bit with the
+    f32 path fed the host-dequantized clip — device-side
+    ``astype(f32) * f32(1/255)`` equals the host multiply exactly."""
+    from tecogan_tpu.engine import build_chunked_inference
+    from tecogan_tpu.ops.image import transfer_quantize_u8
+
+    cfg = small_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    clip_f32 = rng.random((1, 9, 8, 8, 3)).astype(np.float32)
+    q = transfer_quantize_u8(clip_f32)
+    host_deq = q.astype(np.float32) * np.float32(1.0 / 255.0)
+
+    infer = build_clip_inference(cfg)
+    ref = np.asarray(infer(state.params_g, jnp.asarray(host_deq)))
+    via_u8 = np.asarray(infer(state.params_g, jnp.asarray(q)))
+    np.testing.assert_array_equal(via_u8, ref)
+
+    chunked = build_chunked_inference(cfg)(state.params_g, q, chunk=4)
+    np.testing.assert_array_equal(chunked, ref)
+
+
+def test_chunked_u8_output_matches_host_to_uint8(rng):
+    """out_u8=True converts SR windows to uint8 ON DEVICE; must be
+    bit-identical to fetching f32 windows and converting with to_uint8
+    on host (the MediaWriter path) — fused fast path included."""
+    from tecogan_tpu.engine import build_chunked_inference
+    from tecogan_tpu.ops.image import to_uint8
+
+    for kw in (dict(), dict(precision="bf16", bug_parity=False)):
+        cfg = small_cfg(**kw)
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        clip = jnp.asarray(rng.random((1, 9, 8, 8, 3)).astype(np.float32))
+        f32_out = build_chunked_inference(cfg)(state.params_g, clip, chunk=4)
+        u8_out = build_chunked_inference(cfg, out_u8=True)(
+            state.params_g, clip, chunk=4)
+        assert u8_out.dtype == np.uint8
+        np.testing.assert_array_equal(u8_out, to_uint8(f32_out))
+
+
+def test_stream_u8_frames_match_f32(rng):
+    """Streaming step with uint8 frames == the same stream fed the
+    host-dequantized f32 frames (all three stream variants share
+    _dequant_in; exercise exact + fused s2d)."""
+    from tecogan_tpu.ops.image import transfer_quantize_u8
+
+    for kw in (dict(), dict(precision="bf16", bug_parity=False)):
+        cfg = small_cfg(**kw)
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        frames_f32 = rng.random((5, 1, 8, 8, 3)).astype(np.float32)
+        q = transfer_quantize_u8(frames_f32)
+        host_deq = q.astype(np.float32) * np.float32(1.0 / 255.0)
+
+        init_fn, step_fn = build_stream_inference(cfg)
+        s_u8 = init_fn((1, 8, 8, 3))
+        s_f32 = init_fn((1, 8, 8, 3))
+        for t in range(5):
+            s_u8, sr_u8 = step_fn(state.params_g, s_u8, jnp.asarray(q[t]))
+            s_f32, sr_f32 = step_fn(
+                state.params_g, s_f32, jnp.asarray(host_deq[t]))
+            np.testing.assert_array_equal(
+                np.asarray(sr_u8), np.asarray(sr_f32))
