@@ -69,6 +69,13 @@ def main():
     ap.add_argument("--num_resblock", type=int, default=16)
     ap.add_argument("--check", action="store_true",
                     help="deserialize and assert bit-equality vs live")
+    ap.add_argument("--wire", default="f32", choices=["f32", "u8"],
+                    help="u8: export the transfer-thrifty serving "
+                    "specialization — LR windows arrive uint8 (device "
+                    "dequant x*f32(1/255), transfer_quantize_u8 "
+                    "contract) and SR windows leave uint8 (device "
+                    "clip(x*255).astype(u8), bit-equal to host "
+                    "to_uint8) — 4x fewer bytes each way")
     ap.add_argument("--quantize", default="none", choices=["none", "int8"],
                     help="int8: also export head_q/cont_q window programs "
                     "with the W8A8 generator tail, plus the calibrated "
@@ -92,10 +99,12 @@ def main():
 
         params_g = load_generator_params(args.g_checkpoint, params_g)
 
-    infer = build_chunked_inference(cfg, gen)
+    wire_u8 = args.wire == "u8"
+    infer = build_chunked_inference(cfg, gen, out_u8=wire_u8)
     B, K, H, W = args.batch, args.chunk, args.height, args.width
     params_spec = _spec_tree(params_g)
-    lr_spec = jax.ShapeDtypeStruct((B, K, H, W, 3), jnp.float32)
+    lr_spec = jax.ShapeDtypeStruct(
+        (B, K, H, W, 3), jnp.uint8 if wire_u8 else jnp.float32)
 
     carry_spec, sr_spec = jax.eval_shape(infer.head_fn, params_spec, lr_spec)
     head_exp = jax_export.export(infer.head_fn)(params_spec, lr_spec)
@@ -111,13 +120,17 @@ def main():
         "platforms": list(head_exp.platforms),
         "batch": B, "chunk": K, "height": H, "width": W,
         "precision": args.precision, "num_resblock": args.num_resblock,
-        "lr_window": [[B, K, H, W, 3], "float32"],
+        "wire": args.wire,
+        "lr_window": [[B, K, H, W, 3], str(lr_spec.dtype)],
         "sr_window": [list(map(int, sr_spec.shape)), str(sr_spec.dtype)],
         "carry": _manifest_spec(carry_spec),
         "params": _manifest_spec(params_spec),
         "protocol": "head(params, lr_window) -> (carry, sr_window); "
                     "cont(params, carry, lr_window) -> (carry, sr_window); "
-                    "pad the tail window with its last frame and trim.",
+                    "pad the tail window with its last frame and trim."
+                    + (" u8 wire: lr = rint(f32*255) on the client; sr "
+                       "comes back uint8, write it as-is." if wire_u8
+                       else ""),
     }
     qtail = None
     if args.quantize == "int8":
@@ -184,8 +197,14 @@ def main():
 
     if args.check:
         rng = np.random.default_rng(0)
-        lr1 = jnp.asarray(rng.random((B, K, H, W, 3), np.float32))
-        lr2 = jnp.asarray(rng.random((B, K, H, W, 3), np.float32))
+        if wire_u8:
+            lr1 = jnp.asarray(
+                rng.integers(0, 256, (B, K, H, W, 3), dtype=np.uint8))
+            lr2 = jnp.asarray(
+                rng.integers(0, 256, (B, K, H, W, 3), dtype=np.uint8))
+        else:
+            lr1 = jnp.asarray(rng.random((B, K, H, W, 3), np.float32))
+            lr2 = jnp.asarray(rng.random((B, K, H, W, 3), np.float32))
         with open(os.path.join(args.out, "head.stablehlo"), "rb") as f:
             head_rt = jax_export.deserialize(f.read())
         with open(os.path.join(args.out, "cont.stablehlo"), "rb") as f:
