@@ -66,19 +66,42 @@ def main() -> None:
 
     acc = inference_mfu(fps, H, W, cfg.num_resblock)
 
-    print(
-        json.dumps(
-            {
-                "metric": "recurrent_4x_vsr_inference_270p_to_1080p",
-                "value": round(fps, 2),
-                "unit": "fps/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "gen_tflop_per_frame": round(acc["gen_tflop_per_frame"], 3),
-                "achieved_tflops": round(acc["achieved_tflops"], 1),
-                "mfu": round(acc["mfu"], 3),
-            }
-        )
-    )
+    record = {
+        "metric": "recurrent_4x_vsr_inference_270p_to_1080p",
+        "value": round(fps, 2),
+        "unit": "fps/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "gen_tflop_per_frame": round(acc["gen_tflop_per_frame"], 3),
+        "achieved_tflops": round(acc["achieved_tflops"], 1),
+        "mfu": round(acc["mfu"], 3),
+    }
+
+    # Secondary: the int8 W8A8 production serving path (CLI --quantize
+    # int8; -0.01 dB vs ground truth on real content, eval/real_eval_r3
+    # .json).  Headline `value` stays the exact bf16 path; these keys
+    # record the faster serving configuration.  Best-effort: never let
+    # the quantized run fail the headline bench.
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            from tecogan_tpu.engine.inference import (
+                build_quantized_clip_inference,
+            )
+
+            prepare, infer_q = build_quantized_clip_inference(cfg)
+            qtail = prepare(params_g, clip, frames=8)
+            out = infer_q(params_g, qtail, clip)
+            _ = float(jnp.sum(out[:, -1, ::271]))
+            t0 = time.time()
+            for _ in range(reps):
+                out = infer_q(params_g, qtail, clip)
+            _ = float(jnp.sum(out[:, -1, ::271]))
+            fps_q = T / ((time.time() - t0) / reps)
+            record["fps_int8_serving"] = round(fps_q, 2)
+            record["int8_speedup"] = round(fps_q / fps, 3)
+        except Exception as exc:  # pragma: no cover - tunnel flakiness
+            record["fps_int8_serving_error"] = f"{type(exc).__name__}: {exc}"[:120]
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,5 +1,13 @@
 #!/bin/bash
 # Round-3 pending-on-TPU queue — run when the remote-TPU tunnel is back
+#
+# STATUS (2026-08-19, tunnel returned): items 1-3 DONE — results in
+# DESIGN.md "Pending-on-TPU queue results" (38.0 fps sanity; int8
+# 41.81 fps / 1.099x; serving 38.0/36.2/35.7 at B=1/2/4).  Item 4
+# (convergence resume) is NOT possible after a VM reset: /root/data_r3
+# (dataset + checkpoints) does not survive; the epoch-108 results live
+# in eval/synthetic_eval_r3.json.  A fresh run needs the dataset
+# regenerated first (tecogan_tpu.data.synthetic, see run script).
 # (probe first: `timeout 90 python -c "import jax; print(jax.devices())"`;
 # jax.devices() HANGS with no error while the tunnel is down, so never
 # call it inline in a session).
