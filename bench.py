@@ -90,6 +90,7 @@ def main() -> None:
             prepare, infer_q = build_quantized_clip_inference(cfg)
             qtail = prepare(params_g, clip, frames=8)
             out = infer_q(params_g, qtail, clip)
+            assert out.shape == (1, T, 1080, 1920, 3), out.shape
             _ = float(jnp.sum(out[:, -1, ::271]))
             t0 = time.time()
             for _ in range(reps):
@@ -99,7 +100,14 @@ def main() -> None:
             record["fps_int8_serving"] = round(fps_q, 2)
             record["int8_speedup"] = round(fps_q / fps, 3)
         except Exception as exc:  # pragma: no cover - tunnel flakiness
-            record["fps_int8_serving_error"] = f"{type(exc).__name__}: {exc}"[:120]
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            tb = traceback.extract_tb(exc.__traceback__)
+            where = f" @ {tb[-1].filename.rsplit('/', 1)[-1]}:{tb[-1].lineno}" if tb else ""
+            record["fps_int8_serving_error"] = (
+                f"{type(exc).__name__}: {exc}"[:120] + where
+            )
 
     print(json.dumps(record))
 

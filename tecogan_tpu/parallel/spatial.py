@@ -1,0 +1,286 @@
+"""Single-stream spatially-sharded inference (sequence/spatial parallelism).
+
+The reference cannot express this at all — it square-resizes every input to
+``crop_size`` to dodge large frames (/root/reference/main.py:156) and runs
+one GPU.  Our own resolution sweep (DESIGN.md) shows single-chip 4x VSR
+falls below real time above 1080p output because the upsample trunk's
+feature maps outgrow VMEM.  This module shards ONE stream's frames across
+the mesh by output rows, so per-chip activation footprint and FLOPs scale
+1/n while the stream stays a single logical video.
+
+Design (TPU-first, ``jax.shard_map`` over a mesh axis):
+
+* The LR frame's H axis is split into ``n`` contiguous row blocks; every
+  activation in the generator keeps that row sharding through the whole
+  network (LR trunk rows R = H/n, HR rows 4R per chip).
+* 3x3 convs exchange ONE boundary row with each H-neighbor per conv
+  (``ppermute`` rings); a device at the global edge receives zeros —
+  exactly the SAME-conv zero padding the unsharded model computes, so the
+  sharded network is numerically identical, not an approximation.
+* The stride-2 transposed convs (``ConvTranspose2x``) use the phase
+  decomposition (models/layers.py:91-113): even output rows read only the
+  local input row; odd rows read ``x_t`` and ``x_{t+1}`` — a single
+  bottom-halo row from the next device.
+* The recurrent warp is the one *global* data dependency: the reference's
+  pseudo-flow grid is the 4x-upsampled previous LR frame's *values*
+  (code/train.py:71-77), so any output row may sample any input row.  The
+  carried SR state is therefore ``all_gather``ed once per frame (12.4 MB
+  bf16 at 1080p — sub-millisecond on ICI) and the gather itself stays
+  local to each chip's output rows.  prev-LR is also gathered (1.5 MB)
+  because the raw NCHW->grid reshape (ops/warp.py:100-110) mixes channel
+  planes across the full frame.
+
+Per-frame collective budget at 1080p, n chips: one 12.4 MB + one 1.5 MB
+all-gather + ~35 single-row halo ppermutes (~0.25-1 MB each) ~= 20-40 MB
+of ICI traffic against >= 45 GB/s/link — well under 1 ms, vs 26 ms of
+single-chip compute to divide.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import TecoConfig
+from ..models import Generator
+from ..ops.image import deprocess, nhwc_to_nchw
+from ..ops.resize import upscale_four
+from ..ops.space import space_to_depth
+from ..ops.warp import grid_sample
+from .mesh import DATA_AXIS
+
+
+# ---------------------------------------------------------------------------
+# halo exchange primitives (inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _ring_perms(n: int):
+    """(down-shift, up-shift) ppermute rings: ``down`` moves data to the
+    next-higher block index, ``up`` to the previous one.  Devices at the
+    global edge receive zeros (ppermute semantics) == SAME-conv padding."""
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i + 1, i) for i in range(n - 1)]
+    return down, up
+
+
+def halo_rows(x: jnp.ndarray, axis_name: str, up: int = 1, down: int = 1):
+    """Extend a row block ``(B, R, W, C)`` with ``up`` rows from the previous
+    device and ``down`` rows from the next: ``(B, R+up+down, W, C)``."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        pad = [(0, 0), (up, down), (0, 0), (0, 0)]
+        return jnp.pad(x, pad)
+    perm_down, perm_up = _ring_perms(n)
+    parts = []
+    if up:
+        # my top halo = previous device's bottom rows
+        parts.append(lax.ppermute(x[:, -up:], axis_name, perm_down))
+    parts.append(x)
+    if down:
+        # my bottom halo = next device's top rows
+        parts.append(lax.ppermute(x[:, :down], axis_name, perm_up))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _conv3x3_rows(x, kernel, bias, axis_name, dtype):
+    """3x3 stride-1 conv on a row-sharded block: 1-row halo each side, then
+    H-VALID / W-SAME — numerically the unsharded SAME conv."""
+    xh = halo_rows(x.astype(dtype), axis_name, 1, 1)
+    y = lax.conv_general_dilated(
+        xh, kernel.astype(dtype), (1, 1),
+        padding=((0, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def _convt2x_rows(x, kernel, bias, axis_name, dtype):
+    """ConvTranspose2d(k3, s2, p1, op1) on a row-sharded block via the phase
+    decomposition (models/layers.py:91-113): out[2t] = x_t * K[1],
+    out[2t+1] = x_t * K[0] + x_{t+1} * K[2] — needs one bottom-halo row."""
+    x = x.astype(dtype)
+    k = kernel.astype(dtype)
+    B, R, W, _ = x.shape
+    O = k.shape[-1]
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        x_ext = jnp.pad(x, [(0, 0), (0, 1), (0, 0), (0, 0)])
+    else:
+        _, perm_up = _ring_perms(n)
+        nxt = lax.ppermute(x[:, :1], axis_name, perm_up)
+        x_ext = jnp.concatenate([x, nxt], axis=1)  # (B, R+1, W, C)
+
+    def conv(inp, ker, padw):
+        return lax.conv_general_dilated(
+            inp, ker, (1, 1), padding=((0, 0), padw), dimension_numbers=dn
+        )
+
+    p_ee = conv(x, k[1:2, 1:2], (0, 0))
+    p_eo = conv(x, k[1:2, 0:3:2], (0, 1))
+    p_oe = conv(x_ext, k[0:3:2, 1:2], (0, 0))  # H-VALID over R+1 -> R rows
+    p_oo = conv(x_ext, k[0:3:2, 0:3:2], (0, 1))
+    phases = jnp.stack([p_ee, p_eo, p_oe, p_oo], axis=3)  # (B,R,W,4,O)
+    y = phases.reshape(B, R, W, 2, 2, O)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * R, 2 * W, O)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# row-sharded generator forward
+# ---------------------------------------------------------------------------
+
+
+def spatial_generator_apply(gen: Generator, params_g, x_blk, axis_name: str):
+    """The Generator forward (models/generator.py topology, reference
+    code/models.py:61-86) on a row block ``(B, R, W, 51)`` ->
+    ``(B, 4R, 4W, out)``; every conv exchanges halos explicitly, so the
+    result equals the unsharded ``gen.apply`` on the full frame."""
+    dt = gen.dtype
+    relu = jax.nn.relu
+
+    def conv(name_or_p, x):
+        p = params_g[name_or_p] if isinstance(name_or_p, str) else name_or_p
+        return _conv3x3_rows(x, p["kernel"], p.get("bias"), axis_name, dt)
+
+    def resblock(name, x):
+        p = params_g[name]
+        y = relu(conv(p["Conv_0"], x))
+        return conv(p["Conv_1"], y)
+
+    def convt(name, x):
+        p = params_g[name]
+        return _convt2x_rows(x, p["kernel"], p.get("bias"), axis_name, dt)
+
+    net = relu(conv("conv_in", x_blk))
+    for i in range(gen.num_resblock):
+        net = resblock(f"resblock_{i}", net) + net
+    net = relu(convt("up1", net))
+    # plain conv stacks, no skip (reference models.py:72-75)
+    net = resblock("trunk_rb1", net)
+    net = resblock("trunk_rb2", net)
+    net = relu(convt("up2", net))
+    net = relu(conv("conv_hr", net))
+    net = conv("conv_out", net)
+    return jax.nn.sigmoid(net.astype(gen.out_dtype))
+
+
+# ---------------------------------------------------------------------------
+# the sharded recurrent clip program
+# ---------------------------------------------------------------------------
+
+
+def _pseudo_flow_grid_full(prev_lr_full, parity_half: bool):
+    """Full-frame pseudo-flow grid, identical math to
+    engine.inference._pseudo_flow_grid_nhwc (reference train.py:71-77,96)."""
+    lr_nchw = nhwc_to_nchw(prev_lr_full)
+    up = upscale_four(lr_nchw * 4.0, layout="NCHW")[:, 0:2]
+    B, _, H4, W4 = up.shape
+    grid = up.reshape(B, H4, W4, 2)
+    if parity_half:
+        grid = grid.astype(jnp.float16).astype(jnp.float32)
+    return grid
+
+
+def build_spatial_clip_inference(
+    cfg: TecoConfig,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    gen: Optional[Generator] = None,
+):
+    """Returns jitted ``infer(params_g, lr_clip) -> sr_clip`` where ONE
+    stream's rows are sharded over ``mesh[axis]``.
+
+    lr_clip: (B, T, H, W, 3) NHWC float [0,1]; H must be divisible by the
+    axis size.  Output (B, T, 4H, 4W, 3) f32, row-sharded on device.
+
+    Per-frame math matches ``build_clip_inference``'s exact path
+    (engine/inference.py sr_step / first_frame) to float tolerance: the
+    only reassociations are VALID-conv halos (bit-equal) and the
+    transposed-conv phase decomposition (equivalence-tested in
+    tests/test_models.py).
+    """
+    if gen is None:
+        from ..engine.state import model_defs
+
+        gen = model_defs(cfg)[0]
+
+    n = mesh.shape[axis]
+    parity_half = cfg.bug_parity
+
+    def shard_body(params_g, frames_blk):
+        # frames_blk: (T, B, R, W, 3) — this device's LR rows of each frame.
+        T, B, R, W, _ = frames_blk.shape
+        idx = lax.axis_index(axis)
+
+        def gen_apply(inp_blk):
+            return spatial_generator_apply(gen, params_g, inp_blk, axis)
+
+        # frame 0: zero feedback (reference main.py:191-196)
+        inp0 = jnp.concatenate(
+            [frames_blk[0], jnp.zeros((B, R, W, 48), frames_blk.dtype)],
+            axis=-1,
+        )
+        sr0 = gen_apply(inp0)  # (B, 4R, 4W, 3)
+
+        def body(carry, xs):
+            prev_sr_blk = carry
+            prev_lr_blk, cur_lr_blk = xs
+            # The pseudo-flow grid mixes rows globally (raw NCHW reshape,
+            # ops/warp.py:100-110) and the warp gather is content-
+            # dependent and global — gather the small LR frame and the
+            # carried SR frame, keep the OUTPUT rows local.
+            prev_lr_full = lax.all_gather(
+                prev_lr_blk, axis, axis=1, tiled=True
+            )  # (B, H, W, 3)
+            prev_sr_full = lax.all_gather(
+                prev_sr_blk.astype(prev_sr_blk.dtype), axis, axis=1, tiled=True
+            )  # (B, 4H, 4W, 3)
+            grid_full = _pseudo_flow_grid_full(prev_lr_full, parity_half)
+            grid_blk = lax.dynamic_slice_in_dim(
+                grid_full, idx * 4 * R, 4 * R, axis=1
+            )
+            warped_blk = grid_sample(prev_sr_full, grid_blk)
+            feedback = space_to_depth(deprocess(warped_blk))  # (B, R, W, 48)
+            inp = jnp.concatenate([cur_lr_blk, feedback], axis=-1)
+            sr = gen_apply(inp)
+            return sr, sr
+
+        _, rest = lax.scan(body, sr0, (frames_blk[:-1], frames_blk[1:]))
+        sr_blk = jnp.concatenate([sr0[None], rest], axis=0)  # (T, B, 4R, ...)
+        return jnp.moveaxis(sr_blk, 0, 1).astype(jnp.float32)
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, axis, None, None)),
+        out_specs=P(None, None, axis, None, None),
+    )
+
+    def infer(params_g, lr_clip):
+        B, T, H, W, C = lr_clip.shape
+        if H % n:
+            raise ValueError(f"LR height {H} not divisible by {n} shards")
+        frames = jnp.moveaxis(lr_clip, 1, 0)  # (T, B, H, W, 3)
+        return sharded(params_g, frames)
+
+    return jax.jit(infer) if cfg.jit else infer
+
+
+def spatial_input_sharding(mesh: Mesh, axis: str = DATA_AXIS):
+    """NamedSharding for a (B, T, H, W, 3) clip with H row-sharded —
+    device_put inputs with this to avoid a gather-then-scatter on dispatch."""
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, P(None, None, axis, None, None))
