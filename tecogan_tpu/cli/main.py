@@ -74,6 +74,54 @@ def run_inference(cfg: TecoConfig) -> None:
             f"{' aggregate' if n_batched > 1 else ''}) -> {out}"
         )
 
+    # Spatial sharding: ONE stream's output rows split over the mesh
+    # (parallel/spatial.py) — the single-stream fps-scaling axis for
+    # >1080p serving (the reference square-resizes input instead,
+    # main.py:156).  Exclusive with DP/int8/chunked routing.
+    if cfg.spatial_shards > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.spatial import build_spatial_clip_inference
+
+        n_req = min(cfg.spatial_shards, len(jax.devices()))
+        if n_req < cfg.spatial_shards:
+            import warnings
+
+            warnings.warn(
+                f"--spatial_shards {cfg.spatial_shards} exceeds the "
+                f"{len(jax.devices())} visible device(s); clamping.",
+                stacklevel=1)
+        if qinfer is not None:
+            import warnings
+
+            warnings.warn(
+                "--quantize int8 is not wired into the spatially-sharded "
+                "path; serving bf16.", stacklevel=1)
+        sp_infers = {}
+        for idx, clip in enumerate(clips):
+            H = clip.shape[1]
+            n_sp = max(n for n in range(1, n_req + 1) if H % n == 0)
+            if n_sp == 1:
+                import warnings
+
+                warnings.warn(
+                    f"clip {idx}: height {H} has no divisor <= {n_req}; "
+                    "serving single-device.", stacklevel=1)
+                t0 = time.time()
+                sr = infer(params_g, jnp.asarray(clip)[None])
+                sr.block_until_ready()
+                write_clip(idx, clip, np.asarray(sr[0]), time.time() - t0)
+                continue
+            if n_sp not in sp_infers:
+                sp_infers[n_sp] = build_spatial_clip_inference(
+                    cfg, make_mesh(n_sp))
+            t0 = time.time()
+            sr = sp_infers[n_sp](params_g, jnp.asarray(clip)[None])
+            sr.block_until_ready()
+            dt = time.time() - t0
+            print(f"spatial: {n_sp}-way row sharding")
+            write_clip(idx, clip, np.asarray(sr[0]), dt)
+        return
+
     # Data-parallel inference: scenes sharded over the mesh when several
     # same-shape clips are queued and >1 device is visible.
     n_data = cfg.data_axis if cfg.data_axis > 0 else len(jax.devices())

@@ -137,6 +137,11 @@ class TecoConfig:
     # fewer H2D bytes over a remote link AND 4x less host memory lost to
     # per-transfer client leaks (DESIGN.md).  Quantizes augmented pixels
     # to 1/255 (the PNGs' native grid); keep f32 for bit-parity runs.
+    spatial_shards: int = 0  # >1: spatially shard ONE stream's frames
+    # (output rows) over that many devices with halo-exchanged convs and
+    # a per-frame warp all-gather (parallel/spatial.py) — the fps-scaling
+    # axis for >1080p single-stream serving.  Exact-path math; clamped to
+    # the largest divisor of the clip height <= the requested count.
     rss_limit_gb: float = 0.0  # >0: at epoch end, if host RSS exceeds
     # this, checkpoint and exit(75) for a supervisor restart (leaking
     # remote-TPU clients; auto_resume picks the run back up).  0 = off.
@@ -244,6 +249,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", default=d.quantize, choices=["", "int8"])
     p.add_argument("--transfer_dtype", default=d.transfer_dtype,
                    choices=["f32", "u8"])
+    p.add_argument("--spatial_shards", default=d.spatial_shards, type=int)
     p.add_argument("--rss_limit_gb", default=d.rss_limit_gb, type=float)
     p.add_argument("--profile_dir", default=d.profile_dir)
     p.add_argument("--validate_every", default=d.validate_every, type=int)

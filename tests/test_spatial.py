@@ -71,6 +71,30 @@ def test_spatial_bf16_and_presharded_input():
     assert float(np.abs(out - ref).mean()) < 2e-3
 
 
+@pytest.mark.slow
+def test_cli_routes_spatial_shards(tmp_path, capsys):
+    # run_inference serves clips through the spatial path when
+    # --spatial_shards > 1 (clamped to a divisor of the clip height)
+    from tecogan_tpu.cli.main import run_inference
+    from tecogan_tpu.data import write_synthetic_scene_folders
+    from tecogan_tpu.engine import init_state
+    from tecogan_tpu.utils.checkpoint import save_train_state
+
+    data = str(tmp_path / "scenes")
+    write_synthetic_scene_folders(data, num_scenes=1, frames_per_scene=6,
+                                  size=32)
+    cfg = _cfg(input_dir_LR=data, output_dir=str(tmp_path / "out"),
+               spatial_shards=8, max_frm=5)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    save_train_state(cfg.output_dir, state, 0, async_save=False)
+    cfg = cfg.replace(
+        g_checkpoint=str(tmp_path / "out" / "generator.ckpt"))
+    run_inference(cfg)
+    outp = tmp_path / "out" / "output0.mp4"
+    assert outp.exists()
+    assert "spatial: 8-way row sharding" in capsys.readouterr().out
+
+
 def test_spatial_rejects_bad_height():
     cfg = _cfg(jit=False)
     pg = init_state(cfg, jax.random.PRNGKey(0)).params_g
