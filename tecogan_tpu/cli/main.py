@@ -62,6 +62,31 @@ def run_inference(cfg: TecoConfig) -> None:
 
     os.makedirs(cfg.output_dir, exist_ok=True)
 
+    def maybe_adapt(idx, clip):
+        """ZSSR test-time adaptation (engine/adapt.py): per-clip params."""
+        if cfg.adapt_steps <= 0:
+            return params_g
+        from ..engine.adapt import adapt_generator
+
+        t0 = time.time()
+        adapted = adapt_generator(
+            cfg, params_g, clip[: max(cfg.adapt_frames, cfg.RNN_N)],
+            steps=cfg.adapt_steps, learning_rate=cfg.adapt_lr,
+            consistency=cfg.adapt_consistency,
+        )
+        print(f"clip {idx}: adapted {cfg.adapt_steps} steps on internal "
+              f"pairs in {time.time() - t0:.1f}s")
+        return adapted
+
+    def maybe_refine(clip, sr_np):
+        """Post-hoc LR-consistency back-projection (no training)."""
+        if cfg.consistency_refine <= 0:
+            return sr_np
+        from ..engine.adapt import lr_consistency_refine
+
+        return lr_consistency_refine(sr_np, clip,
+                                     iters=cfg.consistency_refine)
+
     def write_clip(idx, clip, sr_np, dt, n_batched=1):
         out = os.path.join(
             cfg.output_dir, f"{cfg.output_name}{idx}{cfg.videotype}"
@@ -106,20 +131,23 @@ def run_inference(cfg: TecoConfig) -> None:
                 warnings.warn(
                     f"clip {idx}: height {H} has no divisor <= {n_req}; "
                     "serving single-device.", stacklevel=1)
+                p_clip = maybe_adapt(idx, clip)
                 t0 = time.time()
-                sr = infer(params_g, jnp.asarray(clip)[None])
+                sr = infer(p_clip, jnp.asarray(clip)[None])
                 sr.block_until_ready()
-                write_clip(idx, clip, np.asarray(sr[0]), time.time() - t0)
+                write_clip(idx, clip, maybe_refine(clip, np.asarray(sr[0])),
+                           time.time() - t0)
                 continue
             if n_sp not in sp_infers:
                 sp_infers[n_sp] = build_spatial_clip_inference(
                     cfg, make_mesh(n_sp))
+            p_clip = maybe_adapt(idx, clip)
             t0 = time.time()
-            sr = sp_infers[n_sp](params_g, jnp.asarray(clip)[None])
+            sr = sp_infers[n_sp](p_clip, jnp.asarray(clip)[None])
             sr.block_until_ready()
             dt = time.time() - t0
             print(f"spatial: {n_sp}-way row sharding")
-            write_clip(idx, clip, np.asarray(sr[0]), dt)
+            write_clip(idx, clip, maybe_refine(clip, np.asarray(sr[0])), dt)
         return
 
     # Data-parallel inference: scenes sharded over the mesh when several
@@ -144,6 +172,13 @@ def run_inference(cfg: TecoConfig) -> None:
         dp_infer = build_dp_inference(cfg, mesh)
         params_rep = jax.device_put(params_g, replicated(mesh))
         print(f"data-parallel inference over {n_data} devices")
+        if cfg.adapt_steps > 0:
+            import warnings
+
+            warnings.warn(
+                "--adapt_steps is per-clip and is not applied to "
+                "DP-batched clips (use --data_axis 1 to adapt each clip).",
+                stacklevel=1)
         if qinfer is not None:
             import warnings
 
@@ -183,6 +218,9 @@ def run_inference(cfg: TecoConfig) -> None:
     for idx in range(done, len(clips)):
         clip = clips[idx]
         chunk = _chunk_for(clip)
+        p_clip = maybe_adapt(idx, clip)
+        if p_clip is not params_g and qinfer is not None:
+            qtail = None  # adapted params need fresh activation scales
         t0 = time.time()
         if chunk:
             if chunked is None:
@@ -194,9 +232,16 @@ def run_inference(cfg: TecoConfig) -> None:
             if qinfer is not None and qtail is None:
                 # calibrate once on the first clip served (same policy
                 # as the one-shot quantized path below)
-                qtail = prepare_q(params_g, jnp.asarray(clip[:8])[None])
+                qtail = prepare_q(p_clip, jnp.asarray(clip[:8])[None])
                 print("int8: activation scales calibrated on clip "
                       f"{idx} (first 8 frames)")
+            if cfg.consistency_refine > 0:
+                import warnings
+
+                warnings.warn(
+                    "--consistency_refine is not applied on the chunked "
+                    "streaming path (windows are written incrementally); "
+                    "use --adapt_steps for long clips.", stacklevel=1)
             clip_up = clip[None]
             if cfg.transfer_dtype == "u8":
                 # opt-in (exactly like training): 4x fewer upload bytes,
@@ -208,7 +253,7 @@ def run_inference(cfg: TecoConfig) -> None:
                 cfg.output_dir, f"{cfg.output_name}{idx}{cfg.videotype}"
             )
             with MediaWriter(out) as w:
-                chunked(params_g, clip_up, chunk=chunk,
+                chunked(p_clip, clip_up, chunk=chunk,
                         sink=lambda sr: w.append(sr[0]),
                         qtail=qtail if qinfer is not None else None)
             dt = time.time() - t0
@@ -222,15 +267,15 @@ def run_inference(cfg: TecoConfig) -> None:
             continue
         if qinfer is not None:
             if qtail is None:  # calibrate once, on the first clip served
-                qtail = prepare_q(params_g, jnp.asarray(clip)[None])
+                qtail = prepare_q(p_clip, jnp.asarray(clip)[None])
                 print("int8: activation scales calibrated on clip "
                       f"{idx} (first 8 frames)")
-            sr = qinfer(params_g, qtail, jnp.asarray(clip)[None])
+            sr = qinfer(p_clip, qtail, jnp.asarray(clip)[None])
         else:
-            sr = infer(params_g, jnp.asarray(clip)[None])
+            sr = infer(p_clip, jnp.asarray(clip)[None])
         sr.block_until_ready()
         dt = time.time() - t0
-        write_clip(idx, clip, np.asarray(sr[0]), dt)
+        write_clip(idx, clip, maybe_refine(clip, np.asarray(sr[0])), dt)
 
 
 def _host_rss_gb() -> float:

@@ -137,6 +137,18 @@ class TecoConfig:
     # fewer H2D bytes over a remote link AND 4x less host memory lost to
     # per-transfer client leaks (DESIGN.md).  Quantizes augmented pixels
     # to 1/255 (the PNGs' native grid); keep f32 for bit-parity runs.
+    adapt_steps: int = 0  # >0: ZSSR-style test-time adaptation — fine-tune
+    # the generator on each served clip's own internal LR->LR/4 pairs +
+    # serving-scale LR-consistency for this many steps before SR
+    # (engine/adapt.py; no external data, beats bicubic on real content
+    # where the base synthetic-trained checkpoint cannot).
+    adapt_lr: float = 1e-4  # adaptation Adam learning rate (cosine-decayed)
+    adapt_consistency: float = 2.0  # weight of the serving-scale
+    # down4(G(clip)) == clip consistency term (the in-network IBP)
+    adapt_frames: int = 40  # cap on frames used to build internal pairs
+    consistency_refine: int = 0  # >0: post-hoc iterative back-projection
+    # steps on the SR output (no training; the cheap fallback to
+    # --adapt_steps; engine/adapt.lr_consistency_refine)
     spatial_shards: int = 0  # >1: spatially shard ONE stream's frames
     # (output rows) over that many devices with halo-exchanged convs and
     # a per-frame warp all-gather (parallel/spatial.py) — the fps-scaling
@@ -249,6 +261,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", default=d.quantize, choices=["", "int8"])
     p.add_argument("--transfer_dtype", default=d.transfer_dtype,
                    choices=["f32", "u8"])
+    p.add_argument("--adapt_steps", default=d.adapt_steps, type=int)
+    p.add_argument("--adapt_lr", default=d.adapt_lr, type=float)
+    p.add_argument("--adapt_consistency", default=d.adapt_consistency,
+                   type=float)
+    p.add_argument("--adapt_frames", default=d.adapt_frames, type=int)
+    p.add_argument("--consistency_refine", default=d.consistency_refine,
+                   type=int)
     p.add_argument("--spatial_shards", default=d.spatial_shards, type=int)
     p.add_argument("--rss_limit_gb", default=d.rss_limit_gb, type=float)
     p.add_argument("--profile_dir", default=d.profile_dir)

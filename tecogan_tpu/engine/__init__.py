@@ -1,5 +1,6 @@
 from .state import TrainState, init_state, make_optimizers, model_defs, lr_schedule
 from .train import build_train_step, build_multi_train_step, set_epoch
+from .adapt import adapt_generator, lr_consistency_refine
 from .inference import (
     build_clip_inference,
     build_chunked_inference,
@@ -14,5 +15,5 @@ __all__ = [
     "build_train_step", "build_multi_train_step", "set_epoch",
     "build_clip_inference", "build_chunked_inference",
     "build_stream_inference", "sr_step", "first_frame",
-    "StreamState",
+    "StreamState", "adapt_generator", "lr_consistency_refine",
 ]

@@ -1,0 +1,168 @@
+"""Test-time (zero-shot) adaptation of the generator to one clip.
+
+The reference's only quality lever is its offline 2,100-epoch training
+run (/root/reference/README.md:21); it has no mechanism to specialize to
+the content being served.  This module adds ZSSR-style internal learning
+("Zero-Shot" Super-Resolution, Shocher et al. 2018 — see PAPERS.md) as a
+serving feature: from the inference clip ALONE, build LR->LR/4 training
+pairs, fine-tune the generator for a few hundred steps, then serve the
+4x task.  No external data; fits a zero-egress deployment.
+
+Two ingredients measured on the reference's real showcase clip
+(original.gif -> real.gif; eval/real_eval_r4.json):
+
+* **internal pairs**: the clip is its own 4x-supervision at 1/4 scale —
+  HR' = the LR clip, LR' = antialiased bilinear /4 (the training-time
+  degradation family, code/dataloader.py:86-95), augmented by the 8
+  flip x time-reversal symmetries;
+* **serving-scale LR-consistency**: || down4(G(lr_clip)) - lr_clip ||^2
+  through the network at the REAL serving scale.  This is the in-network
+  form of iterative back-projection and carries most of the gain
+  (+1.4 dB over internal pairs alone in the round-4 ablation).
+
+``lr_consistency_refine`` is the post-hoc (no-training) form for serving
+paths that cannot afford fine-tuning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import TecoConfig
+
+
+def _augment_windows(clip_thwc: np.ndarray, rnn_n: int) -> np.ndarray:
+    """Split a (T, H, W, 3) clip into rnn_n-frame windows (tail window
+    end-aligned) and expand each by the 8 flip/time symmetries.
+
+    Returns (N, rnn_n, H, W, 3)."""
+    T = clip_thwc.shape[0]
+    rnn_n = min(rnn_n, T)
+    starts = list(range(0, T - rnn_n + 1, rnn_n))
+    if starts[-1] != T - rnn_n:
+        starts.append(T - rnn_n)
+    out = []
+    for s in starts:
+        win = clip_thwc[s : s + rnn_n]
+        for flip_h in (False, True):
+            for flip_v in (False, True):
+                v = win
+                if flip_h:
+                    v = v[:, :, ::-1]
+                if flip_v:
+                    v = v[:, ::-1]
+                out.append(v)
+                out.append(v[::-1])  # time reversal
+    return np.ascontiguousarray(np.stack(out))
+
+
+def adapt_generator(
+    cfg: TecoConfig,
+    params_g,
+    lr_clip_thwc: np.ndarray,
+    steps: int = 1000,
+    learning_rate: float = 1e-4,
+    consistency: float = 2.0,
+    max_batch: int = 16,
+    gen=None,
+    log_every: int = 0,
+):
+    """Fine-tune ``params_g`` on the clip's own internal statistics.
+
+    lr_clip_thwc: (T, H, W, 3) float [0,1], H and W divisible by 4.
+    Returns the adapted generator params (the input pytree is unchanged).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from .losses import generator_unroll
+
+    if gen is None:
+        from .state import model_defs
+
+        gen = model_defs(cfg)[0]
+    if cfg.bug_parity:
+        # bug_parity stops gradients through the recurrence (train.py:90)
+        # — adaptation wants the real gradient; losses are content-only
+        # anyway, so this never affects parity runs.
+        cfg = cfg.replace(bug_parity=False)
+
+    T, H, W, _ = lr_clip_thwc.shape
+    if H % 4 or W % 4:
+        raise ValueError(f"clip {H}x{W} not /4-divisible for internal pairs")
+
+    windows = _augment_windows(np.asarray(lr_clip_thwc, np.float32), cfg.RNN_N)
+    hr_pool = jnp.asarray(windows.transpose(0, 1, 4, 2, 3))  # (N,t,3,H,W)
+    n_pool = hr_pool.shape[0]
+    lr_pool = jax.image.resize(
+        hr_pool, hr_pool.shape[:3] + (H // 4, W // 4), "bilinear",
+        antialias=True,
+    )
+    # serving-scale consistency windows: the unaugmented originals
+    # (every 8th pool entry), capped to bound step cost
+    serve_b = hr_pool[:: 8][: max(1, max_batch // 8)]
+
+    opt = optax.adam(optax.cosine_decay_schedule(learning_rate, max(steps, 1)))
+    opt_state = opt.init(params_g)
+
+    def down4(x):  # (B,t,3,h,w) antialiased /4 — matches the pair builder
+        B, t, C, h, w = x.shape
+        return jax.image.resize(x, (B, t, C, h // 4, w // 4), "bilinear",
+                                antialias=True)
+
+    def loss_fn(p, lr_in, hr_tgt):
+        out = generator_unroll(gen, p, lr_in, cfg).gen_outputs
+        loss = jnp.mean(jnp.square(out - hr_tgt))
+        if consistency > 0.0:
+            sr = generator_unroll(gen, p, serve_b, cfg).gen_outputs
+            loss = loss + consistency * jnp.mean(
+                jnp.square(down4(sr) - serve_b))
+        return loss
+
+    @jax.jit
+    def step(p, o, lr_in, hr_tgt):
+        loss, grads = jax.value_and_grad(loss_fn)(p, lr_in, hr_tgt)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    batch = min(max_batch, n_pool)
+    for i in range(steps):
+        if n_pool <= batch:
+            lr_in, hr_tgt = lr_pool, hr_pool
+        else:  # deterministic round-robin through the pool
+            s = (i * batch) % n_pool
+            idx = (np.arange(batch) + s) % n_pool
+            lr_in, hr_tgt = lr_pool[idx], hr_pool[idx]
+        params_g, opt_state, loss = step(params_g, opt_state, lr_in, hr_tgt)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            print(f"adapt step {i}: loss {float(loss):.6f}", flush=True)
+    return params_g
+
+
+def lr_consistency_refine(
+    sr_thwc: np.ndarray,
+    lr_thwc: np.ndarray,
+    iters: int = 10,
+    step: float = 1.0,
+) -> np.ndarray:
+    """Post-hoc iterative back-projection: push the SR clip onto the
+    subspace consistent with its LR input under the antialiased-bilinear
+    degradation (the no-training fallback to :func:`adapt_generator`'s
+    in-network consistency term)."""
+    import jax
+    import jax.numpy as jnp
+
+    sr = jnp.asarray(sr_thwc, jnp.float32)
+    lr = jnp.asarray(lr_thwc, jnp.float32)
+    T, H, W, C = sr.shape
+
+    def body(_, s):
+        down = jax.image.resize(s, lr.shape, "bilinear", antialias=True)
+        up = jax.image.resize(lr - down, s.shape, "bicubic")
+        return jnp.clip(s + step * up, 0.0, 1.0)
+
+    sr = jax.lax.fori_loop(0, iters, body, sr)
+    return np.asarray(sr)

@@ -50,10 +50,14 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
     def filt(img):
         B, H, W, C = img.shape
         k = jnp.tile(kernel, (1, 1, 1, C))  # depthwise
+        # HIGHEST: TPU convs default to bf16 accumulation, which destroys
+        # the (mxx - mx^2) variance cancellation below (SSIM values way
+        # outside [-1, 1] measured on v5e); full-f32 convs are required.
         return jax.lax.conv_general_dilated(
-            img, k, (1, 1), "VALID",
+            img.astype(jnp.float32), k, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     c1 = (0.01 * max_val) ** 2

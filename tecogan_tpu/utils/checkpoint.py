@@ -220,6 +220,16 @@ def load_train_state(output_dir: str, state, g_path=None, d_path=None):
     return new_state, epoch
 
 
+def save_generator_params(path: str, params_g, meta=None) -> None:
+    """Generator-params-only save (the shape load_generator_params reads):
+    used by test-time adaptation (tools/adapt_clip.py) to persist per-clip
+    adapted weights without an optimizer state."""
+    import jax
+
+    save_pytree(path, {"model_state_dict": jax.device_get(params_g)},
+                meta=meta)
+
+
 def load_generator_params(path: str, params_template):
     """Inference-side load (main.py:169-170): generator params only.
     Accepts our .ckpt or a converted torch checkpoint."""

@@ -1,0 +1,84 @@
+"""Test-time adaptation (engine/adapt.py): internal-pair construction,
+a few optimization steps, and the post-hoc consistency refinement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tecogan_tpu.config import TecoConfig
+from tecogan_tpu.engine import init_state
+from tecogan_tpu.engine.adapt import (
+    _augment_windows, adapt_generator, lr_consistency_refine,
+)
+
+
+def _cfg():
+    return TecoConfig(precision="f32", num_resblock=2, bug_parity=False,
+                      use_pallas=False, crop_size=8, RNN_N=4)
+
+
+def test_augment_windows_symmetries():
+    clip = np.random.default_rng(0).random((6, 8, 8, 3)).astype(np.float32)
+    wins = _augment_windows(clip, 4)
+    # 2 windows (0..3 and tail-aligned 2..5) x 8 symmetries
+    assert wins.shape == (16, 4, 8, 8, 3)
+    np.testing.assert_array_equal(wins[0], clip[:4])
+    np.testing.assert_array_equal(wins[1], clip[3::-1])  # time reversal
+    np.testing.assert_array_equal(wins[8], clip[2:6])
+
+
+def test_adapt_reduces_internal_loss():
+    cfg = _cfg()
+    params = init_state(cfg, jax.random.PRNGKey(0)).params_g
+    rng = np.random.default_rng(0)
+    # smooth content (internal recurrence actually learnable)
+    base = rng.random((1, 12, 12, 3)).astype(np.float32)
+    clip = np.asarray(jax.image.resize(
+        jnp.asarray(np.repeat(base, 4, axis=0)), (4, 24, 24, 3), "bilinear"))
+
+    from tecogan_tpu.engine.losses import generator_unroll
+    from tecogan_tpu.engine.state import model_defs
+
+    gen = model_defs(cfg)[0]
+    hr_b = jnp.asarray(clip.transpose(0, 3, 1, 2))[None]
+    lr_b = jax.image.resize(hr_b, (1, 4, 3, 6, 6), "bilinear", antialias=True)
+
+    def internal_loss(p):
+        out = generator_unroll(gen, p, lr_b, cfg).gen_outputs
+        return float(jnp.mean(jnp.square(out - hr_b)))
+
+    before = internal_loss(params)
+    adapted = adapt_generator(cfg, params, clip, steps=30,
+                              learning_rate=1e-3, consistency=0.5)
+    after = internal_loss(adapted)
+    assert np.isfinite(after)
+    assert after < before, (after, before)
+    # input pytree untouched
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    leaf2 = jax.tree_util.tree_leaves(adapted)[0]
+    assert not np.array_equal(np.asarray(leaf), np.asarray(leaf2))
+
+
+def test_lr_consistency_refine_improves_consistency():
+    rng = np.random.default_rng(0)
+    lr = rng.random((2, 8, 8, 3)).astype(np.float32)
+    sr = rng.random((2, 32, 32, 3)).astype(np.float32)
+
+    def cons_err(s):
+        d = np.asarray(jax.image.resize(jnp.asarray(s), lr.shape, "bilinear",
+                                        antialias=True))
+        return float(np.mean((d - lr) ** 2))
+
+    refined = lr_consistency_refine(sr, lr, iters=5)
+    assert refined.shape == sr.shape
+    assert refined.min() >= 0.0 and refined.max() <= 1.0
+    assert cons_err(refined) < cons_err(sr) * 0.5
+
+
+def test_adapt_rejects_bad_shape():
+    cfg = _cfg()
+    params = init_state(cfg, jax.random.PRNGKey(0)).params_g
+    with pytest.raises(ValueError, match="not /4-divisible"):
+        adapt_generator(cfg, params, np.zeros((4, 10, 12, 3), np.float32),
+                        steps=1)

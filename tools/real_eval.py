@@ -109,7 +109,7 @@ def main(argv=None):
                    help="trained generator .ckpt; without it only the "
                         "reference-output and bicubic anchors are scored")
     p.add_argument("--num_resblock", type=int, default=16)
-    p.add_argument("--json_out", default="eval/real_eval_r3.json")
+    p.add_argument("--json_out", default="eval/real_eval_r4.json")
     p.add_argument("--spider_frames", type=int, default=30)
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="force a jax backend (this image's sitecustomize "
@@ -119,6 +119,15 @@ def main(argv=None):
                    help="also score the int8 (W8A8) serving path on the "
                         "showcase clip, plus its PSNR vs the bf16 output "
                         "(quantization fidelity on real content)")
+    p.add_argument("--adapt", type=int, default=0,
+                   help="also score ZSSR test-time adaptation: fine-tune "
+                        "the checkpoint on each clip's own internal pairs "
+                        "for this many steps (engine/adapt.py), rows "
+                        "ours_zssr_*")
+    p.add_argument("--adapt_lr", type=float, default=1e-4)
+    p.add_argument("--adapt_consistency", type=float, default=2.0)
+    p.add_argument("--refine", type=int, default=0,
+                   help="post-hoc back-projection iters on the adapted SR")
     p.add_argument("--record_suffix", default="",
                    help="suffix for the model record keys (e.g. '_ft' for "
                         "a fine-tuned checkpoint); with a suffix, existing "
@@ -143,9 +152,11 @@ def main(argv=None):
     print("bicubic baseline  :", records["bicubic4x_vs_real"])
 
     spider = load_gif(os.path.join(REF, "Resources", "tecoGAN-spider.gif"))
-    # center-crop to a multiple of 4 in both dims (255x422 -> 252x420)
-    H = spider.shape[1] - spider.shape[1] % 4
-    W = spider.shape[2] - spider.shape[2] % 4
+    # center-crop to a multiple of 16 in both dims (255x422 -> 240x416)
+    # so the LR clip is itself /4-divisible (internal ZSSR pairs need
+    # LR -> LR/4; r3 used %4 crops = 252x420, numbers shift a little)
+    H = spider.shape[1] - spider.shape[1] % 16
+    W = spider.shape[2] - spider.shape[2] % 16
     spider_hr = spider[: args.spider_frames, :H, :W]
     import cv2
 
@@ -166,6 +177,52 @@ def main(argv=None):
         records["spider_ours" + sfx] = score(sr_spider, spider_hr)
         print("OUR model (spider):", records["spider_ours" + sfx])
 
+        if args.adapt:
+            from tecogan_tpu.engine.adapt import (
+                adapt_generator, lr_consistency_refine,
+            )
+
+            def adapted_sr(lr_clip):
+                import jax
+                import jax.numpy as jnp
+
+                from tecogan_tpu.config import TecoConfig
+                from tecogan_tpu.engine.inference import build_clip_inference
+                from tecogan_tpu.engine.state import model_defs
+                from tecogan_tpu.utils.checkpoint import load_generator_params
+
+                cfg = TecoConfig(num_resblock=args.num_resblock,
+                                 precision="bf16", bug_parity=False)
+                gen, _ = model_defs(cfg)
+                template = gen.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8, 8, 51), jnp.float32))["params"]
+                params = load_generator_params(args.g_checkpoint, template)
+                adapted = adapt_generator(
+                    cfg, params, lr_clip, steps=args.adapt,
+                    learning_rate=args.adapt_lr,
+                    consistency=args.adapt_consistency)
+                out = np.asarray(build_clip_inference(cfg)(
+                    adapted, jnp.asarray(lr_clip)[None])[0])
+                if args.refine:
+                    out = lr_consistency_refine(out, lr_clip,
+                                                iters=args.refine)
+                return out
+
+            sr_z = adapted_sr(lr)
+            records["ours_zssr_vs_real" + sfx] = score(sr_z, hr)
+            print("OUR zssr          :", records["ours_zssr_vs_real" + sfx])
+            sr_zs = adapted_sr(spider_lr)
+            records["spider_ours_zssr" + sfx] = score(sr_zs, spider_hr)
+            print("OUR zssr (spider) :", records["spider_ours_zssr" + sfx])
+            context_adapt = {
+                "zssr": f"test-time adaptation: {args.adapt} steps, "
+                        f"lr {args.adapt_lr}, consistency "
+                        f"{args.adapt_consistency}, refine {args.refine} "
+                        "(engine/adapt.py, no external data)"}
+        else:
+            context_adapt = {}
+
         if args.int8:
             sr8 = run_model(args.g_checkpoint, lr, args.num_resblock,
                             int8=True)
@@ -183,6 +240,8 @@ def main(argv=None):
                        "training pairing); showcase LR = the "
                        "reference's own original.gif",
     }
+    if args.g_checkpoint and args.adapt:
+        context.update(context_adapt)
     if args.record_suffix and os.path.exists(args.json_out):
         with open(args.json_out) as f:
             prev = json.load(f)
