@@ -179,20 +179,30 @@ def run_inference(cfg: TecoConfig) -> None:
                 "--adapt_steps is per-clip and is not applied to "
                 "DP-batched clips (use --data_axis 1 to adapt each clip).",
                 stacklevel=1)
+        dp_qinfer = dp_qtail = None
         if qinfer is not None:
-            import warnings
+            from ..parallel import build_dp_quantized_inference
 
-            warnings.warn(
-                "--quantize int8 is not wired into the data-parallel "
-                "inference path; DP-batched clips run the bf16 fast path "
-                "(use --data_axis 1 to force the quantized path).",
-                stacklevel=1,
-            )
+            prepare_dpq, dp_qinfer = build_dp_quantized_inference(cfg, mesh)
+            print("data-parallel int8 serving (qtail replicated)")
         while done + n_data <= len(clips):
             chunk = clips[done : done + n_data]
             t0 = time.time()
-            batch = shard_batch(mesh, np.stack(chunk))
-            sr = dp_infer(params_rep, batch)
+            if dp_qinfer is not None:
+                if dp_qtail is None or cfg.quantize_calib == "per_clip":
+                    # per_clip in DP = per-batch: scales cover every clip
+                    # in the stacked batch (max ranges across clips)
+                    calib = (np.stack(chunk)[:, :8]
+                             if cfg.quantize_calib == "per_clip"
+                             else clips[0][None, :8])
+                    dp_qtail = prepare_dpq(params_g, jnp.asarray(calib))
+                    print(f"int8: activation scales calibrated "
+                          f"({cfg.quantize_calib})")
+                batch = shard_batch(mesh, np.stack(chunk))
+                sr = dp_qinfer(params_rep, dp_qtail, batch)
+            else:
+                batch = shard_batch(mesh, np.stack(chunk))
+                sr = dp_infer(params_rep, batch)
             sr.block_until_ready()
             dt = time.time() - t0
             for j, clip in enumerate(chunk):
@@ -229,9 +239,9 @@ def run_inference(cfg: TecoConfig) -> None:
                 # windows (ops.image.transfer_to_uint8), 4x fewer
                 # device->host bytes on the dominant transfer.
                 chunked = build_chunked_inference(cfg, out_u8=True)
-            if qinfer is not None and qtail is None:
-                # calibrate once on the first clip served (same policy
-                # as the one-shot quantized path below)
+            if qinfer is not None and (
+                qtail is None or cfg.quantize_calib == "per_clip"
+            ):
                 qtail = prepare_q(p_clip, jnp.asarray(clip[:8])[None])
                 print("int8: activation scales calibrated on clip "
                       f"{idx} (first 8 frames)")
@@ -266,7 +276,7 @@ def run_inference(cfg: TecoConfig) -> None:
             )
             continue
         if qinfer is not None:
-            if qtail is None:  # calibrate once, on the first clip served
+            if qtail is None or cfg.quantize_calib == "per_clip":
                 qtail = prepare_q(p_clip, jnp.asarray(clip)[None])
                 print("int8: activation scales calibrated on clip "
                       f"{idx} (first 8 frames)")

@@ -132,6 +132,11 @@ class TecoConfig:
     # serving (engine/quant.py) — activation scales calibrated on the
     # first clip; applies to the one-shot AND chunked-streaming clip
     # paths (DP stays bf16); requires bug_parity=False
+    quantize_calib: str = "first_clip"  # int8 activation-scale policy:
+    # "first_clip" calibrates once on the first served clip and reuses
+    # the qtail (cheapest; heterogeneous batches risk mismatched
+    # ranges), "per_clip" recalibrates on every clip (8 frames — cheap)
+    # and, on the DP path, on every stacked batch.
     transfer_dtype: str = "f32"  # "u8": upload train batches (and
     # chunked-inference LR windows) as uint8, deprocess on device — 4x
     # fewer H2D bytes over a remote link AND 4x less host memory lost to
@@ -259,6 +264,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", default=d.steps_per_dispatch, type=int)
     p.add_argument("--infer_chunk", default=d.infer_chunk, type=int)
     p.add_argument("--quantize", default=d.quantize, choices=["", "int8"])
+    p.add_argument("--quantize_calib", default=d.quantize_calib,
+                   choices=["first_clip", "per_clip"])
     p.add_argument("--transfer_dtype", default=d.transfer_dtype,
                    choices=["f32", "u8"])
     p.add_argument("--adapt_steps", default=d.adapt_steps, type=int)

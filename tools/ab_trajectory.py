@@ -53,7 +53,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--num_resblock", type=int, default=2)
-    p.add_argument("--out", default="eval/ab_trajectory_r3.json")
+    p.add_argument("--out", default="eval/ab_trajectory_r4.json")
     args = p.parse_args(argv)
 
     import torch
@@ -108,7 +108,11 @@ def main(argv=None):
                 torch.from_numpy(hr_all[i : i + 1]),
                 td, tg, ns, i, 0.0, 0.0, opt_g, opt_d,
             )
-            ref_curve.append((float(net.gen_loss), float(net.d_loss)))
+            m = dict(zip(net.update_list_name,
+                         [float(v) for v in net.update_list]))
+            ref_curve.append((float(net.gen_loss), float(net.d_loss),
+                              m["t_discrim_real_output"],
+                              m["t_discrim_fake_output"]))
             if i % 10 == 0:
                 print(f"ref step {i}: gen {ref_curve[-1][0]:.4f} "
                       f"d {ref_curve[-1][1]:.4f} "
@@ -127,7 +131,9 @@ def main(argv=None):
         state, metrics, _ = step_fn(
             state, jnp.asarray(lr_all[i : i + 1]), jnp.asarray(hr_all[i : i + 1])
         )
-        our_curve.append((float(metrics["gen_loss"]), float(metrics["d_loss"])))
+        our_curve.append((float(metrics["gen_loss"]), float(metrics["d_loss"]),
+                          float(metrics["t_discrim_real_output"]),
+                          float(metrics["t_discrim_fake_output"])))
         if i % 10 == 0:
             print(f"our step {i}: gen {our_curve[-1][0]:.4f} "
                   f"d {our_curve[-1][1]:.4f}", flush=True)
@@ -165,6 +171,38 @@ def main(argv=None):
     og = np.array([c[0] for c in our_curve])
     rd = np.array([c[1] for c in ref_curve])
     od = np.array([c[1] for c in our_curve])
+    # --- D health, distribution level (VERDICT r3 Weak #4 / Next #7):
+    # per-step D trajectories decouple chaotically through BN + log(D)
+    # (the 100-step run measured 439% max per-step rel-err), so the
+    # equivalence claim is STATISTICAL: over the trailing half of the
+    # run, both stacks' discriminators must (a) score real/fake at the
+    # same operating point (mean D-real and D-fake outputs) and (b) win
+    # at the same rate (fraction of steps with D_real > D_fake).
+    half = args.steps // 2
+    r_real = np.array([c[2] for c in ref_curve])[half:]
+    r_fake = np.array([c[3] for c in ref_curve])[half:]
+    o_real = np.array([c[2] for c in our_curve])[half:]
+    o_fake = np.array([c[3] for c in our_curve])[half:]
+    d_health = {
+        "window": f"trailing {len(r_real)} steps",
+        "d_real_mean_ref": float(r_real.mean()),
+        "d_real_mean_ours": float(o_real.mean()),
+        "d_fake_mean_ref": float(r_fake.mean()),
+        "d_fake_mean_ours": float(o_fake.mean()),
+        "d_real_mean_abs_gap": float(abs(r_real.mean() - o_real.mean())),
+        "d_fake_mean_abs_gap": float(abs(r_fake.mean() - o_fake.mean())),
+        "win_rate_ref": float((r_real > r_fake).mean()),
+        "win_rate_ours": float((o_real > o_fake).mean()),
+        "win_rate_abs_gap": float(abs((r_real > r_fake).mean()
+                                      - (o_real > o_fake).mean())),
+        "bounds": {"mean_abs_gap_max": 0.15, "win_rate_abs_gap_max": 0.25},
+    }
+    d_health["ok"] = bool(
+        d_health["d_real_mean_abs_gap"] <= 0.15
+        and d_health["d_fake_mean_abs_gap"] <= 0.15
+        and d_health["win_rate_abs_gap"] <= 0.25
+    )
+
     out = {
         "steps": args.steps,
         "gen_loss_curve_ref": rg.round(6).tolist(),
@@ -176,6 +214,7 @@ def main(argv=None):
         "final_heldout_psnr_ref_db": ref_psnr,
         "final_heldout_psnr_ours_db": our_psnr,
         "psnr_gap_db": abs(our_psnr - ref_psnr),
+        "d_health": d_health,
         "config": "crop 32, RNN_N 10, B 1, bug_parity, fp32, Adam 1e-4 both",
     }
     print(json.dumps({k: v for k, v in out.items() if "curve_" not in k or
@@ -184,6 +223,8 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", args.out)
+    assert d_health["ok"], (
+        "D-health statistical equivalence violated: " + json.dumps(d_health))
 
 
 if __name__ == "__main__":

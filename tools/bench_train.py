@@ -48,9 +48,17 @@ def main():
             state, metrics, _ = step(state, lr, hr)
         _ = float(metrics["gen_loss"])
         dt = (time.time() - t0) / reps
+        from tecogan_tpu.utils.flops import train_mfu
+
+        acc = train_mfu(1000 * dt, 4, 10, 32, cfg.num_resblock,
+                        cfg.discrim_resblocks, cfg.discrim_channels,
+                        pingpang=cfg.pingpang, bug_parity=cfg.bug_parity)
         print(json.dumps({
             "metric": name, "value": round(1000 * dt, 1), "unit": "ms/step",
             "steps_per_s": round(1.0 / dt, 2),
+            "train_tflop_per_step": round(acc["train_tflop_per_step"], 3),
+            "achieved_tflops": round(acc["achieved_tflops"], 1),
+            "mfu": round(acc["mfu"], 3),
         }), flush=True)
 
 
