@@ -61,9 +61,8 @@ def main():
                 if stub_gather:
                     table = F.build_packed_table_s2d(carry)
                     rows = jnp.broadcast_to(
-                        table[:, :1, :], (B, ix.shape[1] * ix.shape[2],
-                                          table.shape[-1])
-                    ).reshape(B * ix.shape[1] * ix.shape[2], 2, 5, 3 + 2)[..., :3]
+                        table[:, :1, :30], (B, ix.shape[1] * ix.shape[2], 30)
+                    ).reshape(B * ix.shape[1] * ix.shape[2], 2, 5, 3)
                     # run the real combine arithmetic on fake rows
                     wx = (ix - jnp.floor(ix)).reshape(-1)[:, None]
                     warped = (
@@ -92,8 +91,10 @@ def main():
                 ix, iy = F.planar_pseudo_flow_coords(prev_lr)
                 warped = F.warp_s2d_carry(carry, ix, iy)
             if stub_first:
-                net = jnp.tile(cur_lr[..., :1], (1, 1, 1, 64)).astype(gen.dtype) \
-                    + warped[:, ::4, ::4, :1].astype(gen.dtype)
+                # cheap but data-dependent: one reduction over the warped
+                # frame (12 MB read), no conv / s2d / relayout work
+                net = jnp.broadcast_to(
+                    jnp.mean(warped).astype(gen.dtype), (B, H, W, 64))
             else:
                 net = F.fused_first_layer(params_g, cur_lr, warped,
                                           dtype=gen.dtype)
@@ -104,9 +105,10 @@ def main():
             else:
                 feat = gen.apply(variables, net, method=Generator.tail_features)
             if stub_out:
-                sr = jax.nn.sigmoid(
-                    jnp.tile(feat[:, ::4, ::4, :3], (1, 1, 1, 16))
-                ).astype(jnp.bfloat16)
+                # one reduction over feat (265 MB read) -> constant carry
+                sr = jnp.broadcast_to(
+                    jax.nn.sigmoid(jnp.mean(feat)).astype(jnp.bfloat16),
+                    (B, H, W, 48))
             else:
                 sr = F.conv_out_s2d(
                     feat, params_g["conv_out"]["kernel"],
