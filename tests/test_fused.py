@@ -274,6 +274,21 @@ def test_conv_out_s2d_matches_direct(rng):
     np.testing.assert_allclose(np.asarray(got4), np.asarray(direct), atol=1e-6)
 
 
+def test_conv_out_s2d_phase_matches_direct(rng):
+    """The phase-decomposed conv_out (attic: measured slower end-to-end,
+    DESIGN.md round-4 negative results) performs the identical
+    multiply-adds: s2d-first + dense LR-resolution 1024->48 conv must
+    equal the direct formulation to accumulation-order tolerance."""
+    from tecogan_tpu.engine.fused import conv_out_s2d, conv_out_s2d_phase
+
+    feat = jnp.asarray(rng.random((2, 16, 24, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (3,)).astype(np.float32))
+    a = conv_out_s2d(feat, k, b, out_dtype=jnp.float32)
+    c = conv_out_s2d_phase(feat, k, b, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-6)
+
+
 def test_s2d_table_matches_nhwc_table(rng):
     from tecogan_tpu.engine.fused import build_packed_table_int8, build_packed_table_s2d
     from tecogan_tpu.ops.space import space_to_depth
