@@ -592,7 +592,9 @@ import os as _os
 
 # conv_out formulation switch (round-4 perf experiment): "direct" = 3x3
 # conv at 1080p + sigmoid + identity-s2d conv; "phase" = s2d the features
-# first, then one dense LR-resolution conv (conv_out_s2d_phase below).
+# first, then one dense LR-resolution conv (conv_out_s2d_phase below);
+# "pallas" = fused VMEM kernel (ops/pallas/conv_out_s2d.py) that never
+# materializes the C=3 HR intermediate in HBM.
 _CONV_OUT_IMPL = _os.environ.get("TECOGAN_CONV_OUT", "direct")
 
 
@@ -607,6 +609,14 @@ def conv_out_s2d(feat_hr: jnp.ndarray, kernel: jnp.ndarray,
     term per output) and nearly free on the MXU."""
     if _CONV_OUT_IMPL == "phase":
         return conv_out_s2d_phase(feat_hr, kernel, bias, out_dtype)
+    if _CONV_OUT_IMPL == "pallas":
+        from ..ops.pallas.conv_out_s2d import BH, conv_out_s2d_pallas
+
+        if feat_hr.shape[1] % (4 * BH) == 0 and feat_hr.shape[2] % 4 == 0:
+            return conv_out_s2d_pallas(
+                feat_hr, kernel, bias, out_dtype=out_dtype,
+                interpret=jax.default_backend() != "tpu")
+        # fall through to the direct chain for non-divisible heights
     C = kernel.shape[-1]
     y = jax.lax.conv_general_dilated(
         feat_hr, kernel.astype(feat_hr.dtype), (1, 1),
