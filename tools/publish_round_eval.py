@@ -59,7 +59,16 @@ def main(argv=None) -> None:
     p.add_argument("--limit_frames", type=int, default=40)
     p.add_argument("--num_resblock", type=int, default=16)
     p.add_argument("--context_note", default="")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force a JAX backend (the image's sitecustomize "
+                        "overrides JAX_PLATFORMS env with the remote-TPU "
+                        "plugin; jax.config wins over it)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from tecogan_tpu.cli import evaluate as ev
 
