@@ -306,3 +306,13 @@ def test_rss_watchdog_checkpoints_and_exits_75(cli_workspace):
     assert r2.returncode == 75, (r2.returncode, r2.stderr[-2000:])
     assert "auto-resumed from epoch 1" in r2.stdout, r2.stdout[-2000:]
     assert "Epoch: 2" in r2.stdout, r2.stdout[-2000:]
+
+
+def test_claims_vs_artifacts():
+    """Every eval artifact the docs mention must exist with the promised
+    record keys (VERDICT r3 Weak #1 close-out; tools/check_claims.py)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "check_claims.py")],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
