@@ -132,12 +132,16 @@ def conv_out_s2d_pallas(feat_hr: jnp.ndarray, kernel: jnp.ndarray,
             pl.BlockSpec((8, 3, 4 * K, C16), lambda b, g: (0, 0, 0, 0)),
             pl.BlockSpec((1, C16), lambda b, g: (0, 0)),
             # top halo: HR row 4*BH*g - 1 (clamped at g=0, masked in-kernel)
-            pl.BlockSpec((1, 1, W, 4 * K), lambda b, g: (b, 4 * BH * g - 1, 0, 0)),
+            pl.BlockSpec((1, 1, W, 4 * K),
+                         lambda b, g: (b, jnp.maximum(4 * BH * g - 1, 0), 0, 0)),
             pl.BlockSpec((1, 4 * BH, W, 4 * K), lambda b, g: (b, g, 0, 0)),
             # bottom halo: 3 HR rows from 4*BH*(g+1) (block idx alignment
-            # is why BH must satisfy 4*BH % 3 == 0)
+            # is why BH must satisfy 4*BH % 3 == 0; clamped at the last
+            # block, masked in-kernel)
             pl.BlockSpec((1, 3, W, 4 * K),
-                         lambda b, g: (b, 4 * BH * (g + 1) // 3, 0, 0)),
+                         lambda b, g: (b, jnp.minimum(4 * BH * (g + 1) // 3,
+                                                      nb * BH * 4 // 3 - 1),
+                                       0, 0)),
         ],
         out_specs=pl.BlockSpec((1, BH, W, C16), lambda b, g: (b, g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C16), out_dtype),
