@@ -590,12 +590,18 @@ def conv_out_s2d_stride4(feat_hr: jnp.ndarray, K6: jnp.ndarray,
 
 import os as _os
 
-# conv_out formulation switch (round-4 perf experiment): "direct" = 3x3
+# conv_out formulation switch: "auto" (default) picks the fused Pallas
+# VMEM kernel on TPU (paired-rows variant, falling back to the rv kernel
+# then the direct chain by H-divisibility) and the direct chain on other
+# backends (interpret mode is orders of magnitude slower — never the
+# default, ADVICE r4).  Explicit values for experiments: "direct" = 3x3
 # conv at 1080p + sigmoid + identity-s2d conv; "phase" = s2d the features
 # first, then one dense LR-resolution conv (conv_out_s2d_phase below);
-# "pallas" = fused VMEM kernel (ops/pallas/conv_out_s2d.py) that never
-# materializes the C=3 HR intermediate in HBM.
-_CONV_OUT_IMPL = _os.environ.get("TECOGAN_CONV_OUT", "direct")
+# "pallas" = the fused VMEM kernel even off-TPU (interpret mode, tests).
+# Measured r5 on the v5e (tools/measure_conv_out.py): direct 9.4 ms,
+# phase 6.3 ms, pallas-rv 4.2 ms, pallas-paired 3.96 ms standalone;
+# end-to-end 37.4 -> 39.7+ fps.
+_CONV_OUT_IMPL = _os.environ.get("TECOGAN_CONV_OUT", "auto")
 
 
 def conv_out_s2d(feat_hr: jnp.ndarray, kernel: jnp.ndarray,
@@ -609,13 +615,22 @@ def conv_out_s2d(feat_hr: jnp.ndarray, kernel: jnp.ndarray,
     term per output) and nearly free on the MXU."""
     if _CONV_OUT_IMPL == "phase":
         return conv_out_s2d_phase(feat_hr, kernel, bias, out_dtype)
-    if _CONV_OUT_IMPL == "pallas":
-        from ..ops.pallas.conv_out_s2d import BH, conv_out_s2d_pallas
+    use_pallas_kernel = (
+        _CONV_OUT_IMPL == "pallas"
+        or (_CONV_OUT_IMPL == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas_kernel and feat_hr.shape[2] % 4 == 0:
+        from ..ops.pallas.conv_out_s2d import (
+            BH, BHP, conv_out_s2d_pallas, conv_out_s2d_pallas_paired)
 
-        if feat_hr.shape[1] % (4 * BH) == 0 and feat_hr.shape[2] % 4 == 0:
+        interp = jax.default_backend() != "tpu"
+        if feat_hr.shape[1] % (4 * BHP) == 0:
+            return conv_out_s2d_pallas_paired(
+                feat_hr, kernel, bias, out_dtype=out_dtype,
+                interpret=interp)
+        if feat_hr.shape[1] % (4 * BH) == 0:
             return conv_out_s2d_pallas(
                 feat_hr, kernel, bias, out_dtype=out_dtype,
-                interpret=jax.default_backend() != "tpu")
+                interpret=interp)
         # fall through to the direct chain for non-divisible heights
     C = kernel.shape[-1]
     y = jax.lax.conv_general_dilated(

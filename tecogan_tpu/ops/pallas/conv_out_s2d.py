@@ -105,6 +105,117 @@ def _kernel(w_ref, b_ref, top_ref, main_ref, bot_ref, out_ref):
         out_ref[0, i] = jax.nn.sigmoid(acc + bias).astype(out_ref.dtype)
 
 
+BHP = 2  # LR rows per grid step for the PAIRED kernel (one pair per block:
+#          small blocks keep VMEM use ~4 MB so Pallas double-buffers the
+#          input DMA against the matmuls; at BHP=6 the ~16 MB footprint
+#          disabled pipelining and DMA+compute serialized, measured r5)
+
+
+def retile_conv_out_paired(kernel: jnp.ndarray, bias: jnp.ndarray):
+    """(3, 3, 64, C) conv_out kernel -> (12, 3, 256, 32C) paired kernel.
+
+    Packs TWO consecutive LR output rows into one matmul N dimension
+    (cols 0:16C = even row, 16C:32C = odd row).  Output row pair
+    (2j, 2j+1) reads HR rows 8j-1 .. 8j+10 — window tap r' in [0, 12):
+    the even row uses taps r' in [0, 8) (its r = r'), the odd row taps
+    r' in [4, 12) (its r = r' - 4).  Since the MXU pads matmul N to 128
+    lanes anyway, N=2*48=96 is free where N=48 wasted 62%: 18 matmuls
+    per output row instead of 24."""
+    wc, bc = retile_conv_out_rv(kernel, bias)  # (8, 3, 256, 16C)
+    C16 = wc.shape[-1]
+    wp = jnp.zeros((12, 3, wc.shape[2], 2 * C16), wc.dtype)
+    wp = wp.at[:8, :, :, :C16].set(wc)
+    wp = wp.at[4:, :, :, C16:].set(wc)
+    return wp, jnp.concatenate([bc, bc])
+
+
+def _kernel_paired(w_ref, b_ref, top_ref, main_ref, b0_ref, b1_ref, b2_ref,
+                   out_ref):
+    g = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    c16 = b_ref.shape[1] // 2
+    dt = main_ref.dtype
+    top_scale = jnp.where(g == 0, 0.0, 1.0).astype(dt)
+    bot_scale = jnp.where(g == nb - 1, 0.0, 1.0).astype(dt)
+    bots = (b0_ref, b1_ref, b2_ref)
+
+    def row(w):  # window row w in [0, 4*BHP+3] -> (W_lr, 256), input dtype
+        # stays bf16: the MXU takes bf16 operands with f32 accumulation
+        # natively, so converting inputs to f32 only halves matmul rate
+        if w == 0:
+            return top_ref[0, 0] * top_scale
+        if w <= 4 * BHP:
+            return main_ref[0, w - 1]
+        return bots[w - 4 * BHP - 1][0, 0] * bot_scale
+
+    bias = b_ref[0]
+    wl = main_ref.shape[2]
+    for j in range(BHP // 2):
+        # per-V accumulators: dot(shift(a), w) == shift(dot(a, w)) along
+        # the row (M) axis, so accumulate unshifted on the MXU and shift
+        # the SMALL (W_lr, 2*c16) sums once at the end — ~10x less VPU
+        # copy traffic than shifting every (W_lr, 256) input
+        accs = [jnp.zeros((wl, 2 * c16), jnp.float32) for _ in range(3)]
+        for rp in range(12):
+            a = row(8 * j + rp)
+            for vi in range(3):
+                accs[vi] = accs[vi] + jnp.dot(
+                    a, w_ref[rp, vi], preferred_element_type=jnp.float32)
+        z = jnp.zeros((1, 2 * c16), jnp.float32)
+        acc = (accs[1]
+               + jnp.concatenate([z, accs[0][:-1]], axis=0)
+               + jnp.concatenate([accs[2][1:], z], axis=0))
+        y = jax.nn.sigmoid(acc + bias).astype(out_ref.dtype)
+        out_ref[0, 2 * j] = y[:, :c16]
+        out_ref[0, 2 * j + 1] = y[:, c16:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "interpret"))
+def conv_out_s2d_pallas_paired(feat_hr: jnp.ndarray, kernel: jnp.ndarray,
+                               bias: jnp.ndarray, out_dtype=jnp.bfloat16,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Paired-rows variant of conv_out_s2d_pallas (same contract; requires
+    H % BHP == 0).  See retile_conv_out_paired for the formulation."""
+    B, H4, W4, K = feat_hr.shape
+    H, W = H4 // 4, W4 // 4
+    C16 = 16 * kernel.shape[-1]
+    if H % BHP:
+        raise ValueError(f"H={H} not divisible by BHP={BHP}")
+    wp, bp = retile_conv_out_paired(kernel, bias)
+    wp = wp.astype(feat_hr.dtype)
+    xc = feat_hr.reshape(B, H4, W, 4 * K)
+
+    nb = H // BHP
+
+    def bot_map(i):
+        # bottom-halo HR row 4*BHP*(g+1)+i as its own 1-row input: no
+        # block-alignment constraint on BHP, clamped at the last block
+        # (masked to zero in-kernel to reproduce SAME padding)
+        return lambda b, g: (b, jnp.minimum(4 * BHP * (g + 1) + i,
+                                            4 * BHP * nb - 1), 0, 0)
+
+    return pl.pallas_call(
+        _kernel_paired,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((12, 3, 4 * K, 2 * C16), lambda b, g: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 2 * C16), lambda b, g: (0, 0)),
+            pl.BlockSpec((1, 1, W, 4 * K),
+                         lambda b, g: (b, jnp.maximum(4 * BHP * g - 1, 0),
+                                       0, 0)),
+            pl.BlockSpec((1, 4 * BHP, W, 4 * K), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, W, 4 * K), bot_map(0)),
+            pl.BlockSpec((1, 1, W, 4 * K), bot_map(1)),
+            pl.BlockSpec((1, 1, W, 4 * K), bot_map(2)),
+        ],
+        out_specs=pl.BlockSpec((1, BHP, W, C16), lambda b, g: (b, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C16), out_dtype),
+        interpret=interpret,
+    )(wp, bp[None], xc, xc, xc, xc, xc)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("out_dtype", "interpret"))
 def conv_out_s2d_pallas(feat_hr: jnp.ndarray, kernel: jnp.ndarray,

@@ -295,7 +295,8 @@ def test_conv_out_s2d_pallas_matches_direct(rng):
     decomposition, halo-row masking == SAME zero padding — verified in
     interpret mode at several shapes including non-square and B>1."""
     from tecogan_tpu.engine.fused import conv_out_s2d
-    from tecogan_tpu.ops.pallas.conv_out_s2d import conv_out_s2d_pallas
+    from tecogan_tpu.ops.pallas.conv_out_s2d import (
+        conv_out_s2d_pallas, conv_out_s2d_pallas_paired)
 
     k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 3)).astype(np.float32))
     b = jnp.asarray(rng.normal(0, 0.1, (3,)).astype(np.float32))
@@ -305,6 +306,11 @@ def test_conv_out_s2d_pallas_matches_direct(rng):
         c = conv_out_s2d_pallas(feat, k, b, out_dtype=jnp.float32,
                                 interpret=True)
         np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-6)
+        if (shape[1] // 4) % 2 == 0:  # paired variant needs even LR height
+            d = conv_out_s2d_pallas_paired(feat, k, b, out_dtype=jnp.float32,
+                                           interpret=True)
+            np.testing.assert_allclose(np.asarray(d), np.asarray(a),
+                                       atol=2e-6)
 
 
 def test_s2d_table_matches_nhwc_table(rng):
