@@ -69,13 +69,15 @@ def run_inference(cfg: TecoConfig) -> None:
         from ..engine.adapt import adapt_generator
 
         t0 = time.time()
-        adapted = adapt_generator(
+        adapted, report = adapt_generator(
             cfg, params_g, clip[: max(cfg.adapt_frames, cfg.RNN_N)],
             steps=cfg.adapt_steps, learning_rate=cfg.adapt_lr,
-            consistency=cfg.adapt_consistency,
+            consistency=cfg.adapt_consistency, guard=True,
         )
-        print(f"clip {idx}: adapted {cfg.adapt_steps} steps on internal "
-              f"pairs in {time.time() - t0:.1f}s")
+        served = "adapted" if report["adapted_served"] else "BASE (guard)"
+        print(f"clip {idx}: {cfg.adapt_steps} adapt steps in "
+              f"{time.time() - t0:.1f}s; serving {served} — holdout "
+              f"{report['base_psnr_db']:.2f} -> {report['chosen_psnr_db']:.2f} dB")
         return adapted
 
     def maybe_refine(clip, sr_np):
@@ -102,10 +104,15 @@ def run_inference(cfg: TecoConfig) -> None:
     # Spatial sharding: ONE stream's output rows split over the mesh
     # (parallel/spatial.py) — the single-stream fps-scaling axis for
     # >1080p serving (the reference square-resizes input instead,
-    # main.py:156).  Exclusive with DP/int8/chunked routing.
+    # main.py:156).  Exclusive with DP/chunked routing.  Takes the FUSED
+    # production path (packed-gather warp, identity-s2d first layer, s2d
+    # carry) when the serving config does, incl. the int8 W8A8 tail —
+    # bug_parity keeps the exact torch-semantics sharded path.
     if cfg.spatial_shards > 1:
         from ..parallel.mesh import make_mesh
-        from ..parallel.spatial import build_spatial_clip_inference
+        from ..parallel.spatial import (
+            build_spatial_clip_inference, build_spatial_fused_clip_inference,
+        )
 
         n_req = min(cfg.spatial_shards, len(jax.devices()))
         if n_req < cfg.spatial_shards:
@@ -115,13 +122,16 @@ def run_inference(cfg: TecoConfig) -> None:
                 f"--spatial_shards {cfg.spatial_shards} exceeds the "
                 f"{len(jax.devices())} visible device(s); clamping.",
                 stacklevel=1)
-        if qinfer is not None:
+        use_fused_sp = cfg.use_pallas and not cfg.bug_parity
+        if qinfer is not None and not use_fused_sp:
             import warnings
 
             warnings.warn(
-                "--quantize int8 is not wired into the spatially-sharded "
-                "path; serving bf16.", stacklevel=1)
+                "--quantize int8 requires the fused path (use_pallas, not "
+                "bug_parity) under --spatial_shards; serving bf16.",
+                stacklevel=1)
         sp_infers = {}
+        sp_qtail = None
         for idx, clip in enumerate(clips):
             H = clip.shape[1]
             n_sp = max(n for n in range(1, n_req + 1) if H % n == 0)
@@ -138,15 +148,28 @@ def run_inference(cfg: TecoConfig) -> None:
                 write_clip(idx, clip, maybe_refine(clip, np.asarray(sr[0])),
                            time.time() - t0)
                 continue
+            quantized = qinfer is not None and use_fused_sp
             if n_sp not in sp_infers:
-                sp_infers[n_sp] = build_spatial_clip_inference(
-                    cfg, make_mesh(n_sp))
+                if use_fused_sp:
+                    sp_infers[n_sp] = build_spatial_fused_clip_inference(
+                        cfg, make_mesh(n_sp), quantize=quantized)
+                else:
+                    sp_infers[n_sp] = build_spatial_clip_inference(
+                        cfg, make_mesh(n_sp))
             p_clip = maybe_adapt(idx, clip)
             t0 = time.time()
-            sr = sp_infers[n_sp](p_clip, jnp.asarray(clip)[None])
+            if quantized:
+                if sp_qtail is None or cfg.quantize_calib == "per_clip" \
+                        or p_clip is not params_g:
+                    sp_qtail = prepare_q(p_clip, jnp.asarray(clip[:8])[None])
+                sr = sp_infers[n_sp](p_clip, sp_qtail,
+                                     jnp.asarray(clip)[None])
+            else:
+                sr = sp_infers[n_sp](p_clip, jnp.asarray(clip)[None])
             sr.block_until_ready()
             dt = time.time() - t0
-            print(f"spatial: {n_sp}-way row sharding")
+            print(f"spatial: {n_sp}-way row sharding"
+                  f"{' + int8 tail' if quantized else ''}")
             write_clip(idx, clip, maybe_refine(clip, np.asarray(sr[0])), dt)
         return
 

@@ -68,12 +68,24 @@ def adapt_generator(
     max_batch: int = 16,
     gen=None,
     log_every: int = 0,
+    guard: bool = False,
+    holdout_every: int = 5,
+    eval_every: int = 100,
 ):
     """Fine-tune ``params_g`` on the clip's own internal statistics.
 
     lr_clip_thwc: (T, H, W, 3) float [0,1], H and W divisible by 4.
     Returns the adapted generator params (the input pytree is unchanged).
-    """
+
+    With ``guard=True`` (VERDICT r4 Weak #4: adaptation shipped a
+    measured SSIM regression on the spider clip with nothing checking),
+    every ``holdout_every``-th internal window is excluded from the
+    training pool and scored (PSNR + SSIM at the /4-scale task, where
+    the ground truth is the clip itself) every ``eval_every`` steps:
+    the best-scoring snapshot is kept, and if no snapshot beats the BASE
+    params on both metrics the base params are returned unchanged —
+    adaptation can never ship an internal-metric regression.  Returns
+    ``(params, report_dict)`` instead of bare params."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -95,6 +107,22 @@ def adapt_generator(
         raise ValueError(f"clip {H}x{W} not /4-divisible for internal pairs")
 
     windows = _augment_windows(np.asarray(lr_clip_thwc, np.float32), cfg.RNN_N)
+    hold_hr = hold_lr = None
+    if guard:
+        # hold out whole window groups (all 8 augmentations of a window
+        # are consecutive) so the validation windows are truly unseen
+        n_groups = windows.shape[0] // 8
+        hold_g = set(range(0, n_groups, max(2, holdout_every)))
+        if len(hold_g) == n_groups:  # degenerate tiny clip: keep 1 train
+            hold_g.discard(0)
+        gidx = np.repeat(np.arange(n_groups), 8)
+        hold_mask = np.isin(gidx, sorted(hold_g))
+        held = windows[hold_mask][::8]  # unaugmented representative
+        windows = windows[~hold_mask]
+        hold_hr = jnp.asarray(held.transpose(0, 1, 4, 2, 3))
+        hold_lr = jax.image.resize(
+            hold_hr, hold_hr.shape[:3] + (H // 4, W // 4), "bilinear",
+            antialias=True)
     hr_pool = jnp.asarray(windows.transpose(0, 1, 4, 2, 3))  # (N,t,3,H,W)
     n_pool = hr_pool.shape[0]
     lr_pool = jax.image.resize(
@@ -128,6 +156,27 @@ def adapt_generator(
         updates, o = opt.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
+    holdout_score = None
+    if guard:
+        from ..ops.metrics import psnr_per_frame, ssim
+
+        # the holdout comparison happens at the internal-HR scale (H, W);
+        # SSIM's 11x11 VALID window is empty below 11px — PSNR-only there
+        use_ssim = min(H, W) >= 11
+
+        @jax.jit
+        def holdout_score(p):
+            out = generator_unroll(gen, p, hold_lr, cfg).gen_outputs
+            out_hwc = jnp.clip(out, 0.0, 1.0).reshape(
+                (-1,) + out.shape[2:]).transpose(0, 2, 3, 1)
+            tgt_hwc = hold_hr.reshape(
+                (-1,) + hold_hr.shape[2:]).transpose(0, 2, 3, 1)
+            return (jnp.mean(psnr_per_frame(tgt_hwc, out_hwc)),
+                    ssim(out_hwc, tgt_hwc) if use_ssim else jnp.float32(0.0))
+
+        base_psnr, base_ssim = (float(x) for x in holdout_score(params_g))
+        best = (base_psnr, base_ssim, params_g, 0)  # (psnr, ssim, params, step)
+
     batch = min(max_batch, n_pool)
     for i in range(steps):
         if n_pool <= batch:
@@ -139,6 +188,30 @@ def adapt_generator(
         params_g, opt_state, loss = step(params_g, opt_state, lr_in, hr_tgt)
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"adapt step {i}: loss {float(loss):.6f}", flush=True)
+        if guard and ((i + 1) % eval_every == 0 or i == steps - 1):
+            ps, ss = (float(x) for x in holdout_score(params_g))
+            if log_every:
+                print(f"adapt holdout @{i + 1}: psnr {ps:.3f} "
+                      f"(base {base_psnr:.3f}) ssim {ss:.4f} "
+                      f"(base {base_ssim:.4f})", flush=True)
+            # never-regress rule: a snapshot is eligible only if it is at
+            # least as good as the BASE on both metrics; among eligible
+            # snapshots keep the highest PSNR (SSIM as tie-break)
+            if (ps >= base_psnr and ss >= base_ssim
+                    and (ps, ss) > (best[0], best[1])):
+                best = (ps, ss, params_g, i + 1)
+    if guard:
+        ps, ss, chosen, at_step = best
+        report = {
+            "holdout_windows": int(hold_hr.shape[0]),
+            "base_psnr_db": round(base_psnr, 4),
+            "base_ssim": round(base_ssim, 5),
+            "chosen_psnr_db": round(ps, 4),
+            "chosen_ssim": round(ss, 5),
+            "chosen_step": at_step,
+            "adapted_served": at_step > 0,
+        }
+        return chosen, report
     return params_g
 
 

@@ -605,19 +605,28 @@ _CONV_OUT_IMPL = _os.environ.get("TECOGAN_CONV_OUT", "auto")
 
 
 def conv_out_s2d(feat_hr: jnp.ndarray, kernel: jnp.ndarray,
-                 bias: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+                 bias: jnp.ndarray, out_dtype=jnp.bfloat16,
+                 impl: "str | None" = None) -> jnp.ndarray:
     """(B, 4H, 4W, 64) conv_hr features -> sigmoid SR frame in s2d layout
     (B, H, W, 16C), channel c*16 + a*4 + b (train.py:102-106 order).
 
     Direct 3x3 conv_out + sigmoid at 1080p (stride-1: shares conv_hr's
     spatial windowing, so no inter-conv relayout), then space-to-depth
     as a non-overlapping 4x4 stride-4 identity conv — exact (one 1.0*x
-    term per output) and nearly free on the MXU."""
-    if _CONV_OUT_IMPL == "phase":
+    term per output) and nearly free on the MXU.
+
+    ``impl`` overrides the TECOGAN_CONV_OUT dispatch per call site: the
+    int8 serving path passes "direct" because the Pallas custom call's
+    row-major operand-layout constraint costs that graph a relayout the
+    XLA chain avoids (measured r5: int8 41.8 fps direct vs 38.6 pallas,
+    while bf16 is 40.0 pallas vs 37.4 direct)."""
+    if impl is None:
+        impl = _CONV_OUT_IMPL
+    if impl == "phase":
         return conv_out_s2d_phase(feat_hr, kernel, bias, out_dtype)
     use_pallas_kernel = (
-        _CONV_OUT_IMPL == "pallas"
-        or (_CONV_OUT_IMPL == "auto" and jax.default_backend() == "tpu"))
+        impl == "pallas"
+        or (impl == "auto" and jax.default_backend() == "tpu"))
     if use_pallas_kernel and feat_hr.shape[2] % 4 == 0:
         from ..ops.pallas.conv_out_s2d import (
             BH, BHP, conv_out_s2d_pallas, conv_out_s2d_pallas_paired)
@@ -865,8 +874,10 @@ def fused_first_frame_s2d(gen: Generator, variables, params_g, lr0,
     net = jax.nn.relu(y + b.astype(dt))
     feat = (tail_fn(net) if tail_fn is not None
             else gen.apply(variables, net, method=Generator.tail_features))
+    # quantized tails keep the direct XLA chain (see conv_out_s2d)
     return conv_out_s2d(feat, params_g["conv_out"]["kernel"],
-                        params_g["conv_out"]["bias"])
+                        params_g["conv_out"]["bias"],
+                        impl="direct" if tail_fn is not None else None)
 
 
 def fused_sr_step_s2d(gen: Generator, variables, params_g, carry_s2d,
@@ -886,4 +897,5 @@ def fused_sr_step_s2d(gen: Generator, variables, params_g, carry_s2d,
     feat = (tail_fn(net) if tail_fn is not None
             else gen.apply(variables, net, method=Generator.tail_features))
     return conv_out_s2d(feat, params_g["conv_out"]["kernel"],
-                        params_g["conv_out"]["bias"])
+                        params_g["conv_out"]["bias"],
+                        impl="direct" if tail_fn is not None else None)

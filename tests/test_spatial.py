@@ -72,6 +72,40 @@ def test_spatial_bf16_and_presharded_input():
 
 
 @pytest.mark.slow
+def test_spatial_fused_matches_single_device_fused():
+    """The PRODUCTION fast path sharded (VERDICT r4 Next #5): planar
+    coords + packed-gather warp + identity-s2d first layer + s2d carry,
+    row-sharded, must be bit-equal to build_clip_inference's fused path."""
+    from tecogan_tpu.parallel.spatial import build_spatial_fused_clip_inference
+
+    cfg = _cfg(precision="bf16", use_pallas=True, RNN_N=4)
+    pg = init_state(cfg, jax.random.PRNGKey(0)).params_g
+    clip = _clip(t=4, h=24, w=16)
+    ref = np.asarray(build_clip_inference(cfg)(pg, clip))
+    out = np.asarray(
+        build_spatial_fused_clip_inference(cfg, make_mesh(n_data=4))(pg, clip))
+    assert out.shape == ref.shape == (1, 4, 96, 64, 3)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_spatial_fused_int8_matches_single_device_int8():
+    """int8 W8A8 tail under spatial sharding (the r4 CLI warning is dead):
+    per-layer scales are global scalars, so quantize-then-halo is the
+    integer-exact sharding of the unsharded quantized conv."""
+    from tecogan_tpu.engine.inference import build_quantized_clip_inference
+    from tecogan_tpu.parallel.spatial import build_spatial_fused_clip_inference
+
+    cfg = _cfg(precision="bf16", use_pallas=True, RNN_N=4)
+    pg = init_state(cfg, jax.random.PRNGKey(0)).params_g
+    clip = _clip(t=4, h=24, w=16)
+    prepare, infer_q = build_quantized_clip_inference(cfg)
+    qtail = prepare(pg, clip, frames=4)
+    ref = np.asarray(infer_q(pg, qtail, clip))
+    out = np.asarray(build_spatial_fused_clip_inference(
+        cfg, make_mesh(n_data=4), quantize=True)(pg, qtail, clip))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_cli_routes_spatial_shards(tmp_path, capsys):
     # run_inference serves clips through the spatial path when
     # --spatial_shards > 1 (clamped to a divisor of the clip height)

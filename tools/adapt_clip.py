@@ -100,11 +100,13 @@ def main(argv=None) -> None:
 
     clip = load_clip(args.input)
     print(f"clip: {clip.shape[0]} frames {clip.shape[1]}x{clip.shape[2]}")
-    adapted = adapt_generator(
+    adapted, report = adapt_generator(
         cfg, params, clip[: args.frames] if args.frames else clip,
         steps=args.steps, learning_rate=args.lr,
         consistency=args.consistency, log_every=max(args.steps // 8, 1),
+        guard=True,
     )
+    print("guard report:", report)
     if args.out_ckpt:
         save_generator_params(args.out_ckpt, adapted)
         print(f"adapted params -> {args.out_ckpt}")

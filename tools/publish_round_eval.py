@@ -94,15 +94,23 @@ def main(argv=None) -> None:
     ])
     heldout = json.load(open(tmp_json))
 
-    # 2. validation trajectory + run context from the summary JSONL
+    # 2. validation trajectory + run context from the summary JSONL.
+    # A resumed run may re-log an epoch (ADVICE r4): keep EVERY record —
+    # duplicate epochs become a list instead of silently rewriting history.
     traj, last = {}, {}
     jsonl = os.path.join(args.run_dir, "summary", "train_metrics.jsonl")
     with open(jsonl) as f:
         for line in f:
             rec = json.loads(line)
             if "val_psnr_db" in rec:
-                traj[f"epoch{rec['epoch'] + 1}"] = round(
-                    float(rec["val_psnr_db"]), 3)
+                key = f"epoch{rec['epoch'] + 1}"
+                val = round(float(rec["val_psnr_db"]), 3)
+                if key in traj:
+                    prev = traj[key]
+                    traj[key] = (prev if isinstance(prev, list)
+                                 else [prev]) + [val]
+                else:
+                    traj[key] = val
             last = rec
 
     # 3. bicubic anchors
@@ -113,6 +121,13 @@ def main(argv=None) -> None:
     anchors["aggregate_psnr_db"] = float(
         np.mean([a["psnr_db"] for a in anchors.values()]))
 
+    # exact provenance of the SCORED checkpoint from its own metadata
+    # (ADVICE r4: free-text notes left it ambiguous vs final_epoch)
+    from tecogan_tpu.utils.checkpoint import load_flat
+
+    ckpt_path = os.path.join(args.run_dir, "generator.ckpt")
+    _, ckpt_meta = load_flat(ckpt_path)
+
     out = {
         "records": heldout["records"],
         "aggregate": heldout["aggregate"],
@@ -120,6 +135,8 @@ def main(argv=None) -> None:
         "heldout_bicubic4x": anchors,
         "context": {
             "run_dir": args.run_dir,
+            "scored_checkpoint": ckpt_path,
+            "scored_checkpoint_epoch": int(ckpt_meta.get("epoch", -1)),
             "final_epoch": int(last.get("epoch", -1)) + 1,
             "final_step": int(last.get("step", -1)),
             "train_wall_s": round(float(last.get("wall_time", 0.0)), 1),

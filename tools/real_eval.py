@@ -198,22 +198,24 @@ def main(argv=None):
                     jax.random.PRNGKey(0),
                     jnp.zeros((1, 8, 8, 51), jnp.float32))["params"]
                 params = load_generator_params(args.g_checkpoint, template)
-                adapted = adapt_generator(
+                adapted, report = adapt_generator(
                     cfg, params, lr_clip, steps=args.adapt,
                     learning_rate=args.adapt_lr,
-                    consistency=args.adapt_consistency)
+                    consistency=args.adapt_consistency, guard=True)
                 out = np.asarray(build_clip_inference(cfg)(
                     adapted, jnp.asarray(lr_clip)[None])[0])
                 if args.refine:
                     out = lr_consistency_refine(out, lr_clip,
                                                 iters=args.refine)
-                return out
+                return out, report
 
-            sr_z = adapted_sr(lr)
-            records["ours_zssr_vs_real" + sfx] = score(sr_z, hr)
+            sr_z, rep_z = adapted_sr(lr)
+            records["ours_zssr_vs_real" + sfx] = dict(score(sr_z, hr),
+                                                      guard=rep_z)
             print("OUR zssr          :", records["ours_zssr_vs_real" + sfx])
-            sr_zs = adapted_sr(spider_lr)
-            records["spider_ours_zssr" + sfx] = score(sr_zs, spider_hr)
+            sr_zs, rep_zs = adapted_sr(spider_lr)
+            records["spider_ours_zssr" + sfx] = dict(score(sr_zs, spider_hr),
+                                                     guard=rep_zs)
             print("OUR zssr (spider) :", records["spider_ours_zssr" + sfx])
             context_adapt = {
                 "zssr": f"test-time adaptation: {args.adapt} steps, "
