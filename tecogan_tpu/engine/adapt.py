@@ -108,6 +108,7 @@ def adapt_generator(
 
     windows = _augment_windows(np.asarray(lr_clip_thwc, np.float32), cfg.RNN_N)
     hold_hr = hold_lr = None
+    holdout_overlap = False
     if guard:
         # hold out whole window groups (all 8 augmentations of a window
         # are consecutive) so the validation windows are truly unseen
@@ -115,10 +116,17 @@ def adapt_generator(
         hold_g = set(range(0, n_groups, max(2, holdout_every)))
         if len(hold_g) == n_groups:  # degenerate tiny clip: keep 1 train
             hold_g.discard(0)
-        gidx = np.repeat(np.arange(n_groups), 8)
-        hold_mask = np.isin(gidx, sorted(hold_g))
-        held = windows[hold_mask][::8]  # unaugmented representative
-        windows = windows[~hold_mask]
+        if hold_g:
+            gidx = np.repeat(np.arange(n_groups), 8)
+            hold_mask = np.isin(gidx, sorted(hold_g))
+            held = windows[hold_mask][::8]  # unaugmented representative
+            windows = windows[~hold_mask]
+        else:
+            # single-window clip: nothing can be held out without losing
+            # all training data — validate on the unaugmented window
+            # (overlaps training; flagged in the report)
+            held = windows[::8]
+            holdout_overlap = True
         hold_hr = jnp.asarray(held.transpose(0, 1, 4, 2, 3))
         hold_lr = jax.image.resize(
             hold_hr, hold_hr.shape[:3] + (H // 4, W // 4), "bilinear",
@@ -204,6 +212,7 @@ def adapt_generator(
         ps, ss, chosen, at_step = best
         report = {
             "holdout_windows": int(hold_hr.shape[0]),
+            "holdout_overlaps_train": holdout_overlap,
             "base_psnr_db": round(base_psnr, 4),
             "base_ssim": round(base_ssim, 5),
             "chosen_psnr_db": round(ps, 4),

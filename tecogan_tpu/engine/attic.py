@@ -148,3 +148,119 @@ def phase_conv_transpose_2x(x, kernel, bias=None, dtype=jnp.bfloat16):
     if bias is not None:
         y = y + bias.astype(dtype)
     return y
+
+
+# ---------------------------------------------------------------------------
+# conv_out formulation negatives (moved from fused.py in r5 when the Pallas
+# paired-rows kernel won on hardware — VERDICT r4 Next #8).  Production is
+# fused.conv_out_s2d ("auto": pallas-paired on TPU, direct chain off-TPU).
+# Measured r5 standalone at 1080p (tools/measure_conv_out.py): direct
+# 9.4 ms, phase 6.3 ms, pallas-rv 4.2 ms, pallas-paired 3.96 ms; end-to-end
+# bf16 37.4 (direct) -> 40.0 fps (paired).
+# ---------------------------------------------------------------------------
+
+
+def retile_conv_out_s2d(kernel: jnp.ndarray, bias: jnp.ndarray):
+    """conv_out's (3,3,64,C) kernel as a stride-4 (6,6,64,16C) kernel
+    whose output IS the space-to-depth of the 1080p conv: output channel
+    c*16 + a*4 + b at LR position (i, j) equals the 3x3 conv at HR pixel
+    (4i+a, 4j+b).  A 6x6 window covers the 4x4 block's taps; each output
+    channel uses a 3x3 sub-window (structured zeros)."""
+    C = kernel.shape[-1]
+    pieces = []
+    for c in range(C):
+        kc = kernel[:, :, :, c : c + 1]
+        for a in range(4):
+            for b in range(4):
+                pieces.append(jnp.pad(kc, ((a, 3 - a), (b, 3 - b), (0, 0), (0, 0))))
+    K6 = jnp.concatenate(pieces, axis=-1)  # (6,6,64,16C), ch = c*16+a*4+b
+    b_s2d = jnp.repeat(bias, 16)
+    return K6, b_s2d
+
+
+def conv_out_s2d_stride4(feat_hr: jnp.ndarray, K6: jnp.ndarray,
+                         b_s2d: jnp.ndarray,
+                         out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(B, 4H, 4W, 64) conv_hr features -> sigmoid SR frame in s2d layout
+    (B, H, W, 16C) via ONE stride-4 6x6 conv (retile_conv_out_s2d).
+
+    Negative result (round 3, v5e): the overlapping-window stride-4 conv
+    forces XLA to re-window relu(conv_hr)'s output — ~3.9 ms/frame of
+    pure layout copies at 1080p.  The direct chain measured 38.0 vs 37.4
+    fps end-to-end; the r5 Pallas paired kernel beats both."""
+    y = jax.lax.conv_general_dilated(
+        feat_hr, K6.astype(feat_hr.dtype), (4, 4), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.sigmoid((y + b_s2d.astype(y.dtype)).astype(out_dtype))
+
+
+_PHASE_MAP: dict = {}
+
+
+def _phase_onehot(dtype) -> jnp.ndarray:
+    """(3, 4, 3, 4) one-hot M[u, a, U, a2] = 1 iff a + u - 1 == 4*(U-1) + a2:
+    HR tap offset u at output phase a lands in LR tap offset U, input
+    phase a2.  Constant; cached as numpy per dtype."""
+    import numpy as np
+
+    key = str(dtype)
+    if key not in _PHASE_MAP:
+        m = np.zeros((3, 4, 3, 4), np.float32)
+        for u in range(3):
+            for a in range(4):
+                t = a + u - 1
+                m[u, a, (t // 4) + 1, t % 4] = 1.0
+        _PHASE_MAP[key] = m
+    return jnp.asarray(_PHASE_MAP[key], dtype)
+
+
+def retile_conv_out_phase(kernel: jnp.ndarray, bias: jnp.ndarray):
+    """conv_out's (3,3,64,C) kernel as a PHASE kernel (3,3,1024,16C) for a
+    dense 3x3 conv over the s2d-layout features (channel b2*256+a2*64+k):
+    output channel c*16 + a*4 + b (reference s2d order, train.py:102-106)
+    at LR (i,j) equals the HR 3x3 conv at pixel (4i+a, 4j+b).  Every K3
+    element scatters to exactly one phase slot per (a,b), so the retiled
+    conv performs the identical multiply-adds (summation order aside)."""
+    K = kernel.shape[2]
+    C = kernel.shape[-1]
+    m = _phase_onehot(kernel.dtype)
+    # (U, V, b2, a2, k, c, a, b)
+    kp = jnp.einsum("uvkc,uaxm,vbyn->xynmkcab", kernel, m, m)
+    return kp.reshape(3, 3, 16 * K, 16 * C), jnp.repeat(bias, 16)
+
+
+def s2d_features(feat_hr: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4H, 4W, K) -> (B, H, W, 16K) space-to-depth, channel order
+    b2*256 + a2*64 + k for K=64 (i.e. col-phase major, row-phase, then k).
+    One real transpose of the 4-wide row-phase dim; both reshapes are
+    free in row-major order."""
+    B, H4, W4, K = feat_hr.shape
+    x = feat_hr.reshape(B, H4 // 4, 4, W4, K)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))  # (B, H, 4W, a2, K)
+    return x.reshape(B, H4 // 4, W4 // 4, 16 * K)
+
+
+def conv_out_s2d_phase(feat_hr: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """conv_out + sigmoid + space-to-depth with NO HR-resolution C-minor
+    intermediate: s2d the 64-channel features first (s2d_features — one
+    lane-friendly relayout), then one dense 3x3 conv at LR resolution,
+    1024 -> 48 channels (retile_conv_out_phase).
+
+    Rationale (round-4 stage budget, DESIGN.md): the direct formulation's
+    (B, 1080, 1920, 3) intermediate wastes 125/128 lanes in both the
+    conv_out write and the identity-s2d read — 5.3 ms/frame of the 26.3 ms
+    budget.  Here every tensor is channel-dense (64 / 1024 / 48 minor).
+    The phase kernel is 16x the MACs of the HR conv (structured zeros) but
+    115 GFLOP/frame is ~0.6 ms of otherwise-idle MXU.  Exact same
+    multiply-adds per output, reordered summation only."""
+    kp, bp = retile_conv_out_phase(kernel.astype(feat_hr.dtype), bias)
+    x = s2d_features(feat_hr)
+    y = jax.lax.conv_general_dilated(
+        x, kp, (1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.sigmoid((y + bp.astype(y.dtype)).astype(out_dtype))
+
+

@@ -110,6 +110,21 @@ def test_adapt_guard_never_regresses():
     assert report2["chosen_ssim"] >= report2["base_ssim"]
 
 
+def test_adapt_guard_single_window_clip():
+    """A clip with exactly ONE internal window group (e.g. the 10-frame
+    showcase clip at RNN_N=10) cannot hold anything out: the guard must
+    validate on the unaugmented window (flagged) instead of crashing on
+    an empty holdout (r5 regression: ZeroDivisionError in reshape)."""
+    cfg = _cfg().replace(num_resblock=1, RNN_N=4)
+    params = init_state(cfg, jax.random.PRNGKey(0)).params_g
+    clip = np.random.default_rng(0).random((4, 16, 16, 3)).astype(np.float32)
+    chosen, rep = adapt_generator(cfg, params, clip, steps=1,
+                                  learning_rate=1e-3, consistency=0.0,
+                                  guard=True, eval_every=1)
+    assert rep["holdout_overlaps_train"] is True
+    assert rep["holdout_windows"] == 1
+
+
 def test_adapt_rejects_bad_shape():
     cfg = _cfg()
     params = init_state(cfg, jax.random.PRNGKey(0)).params_g

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from tecogan_tpu.config import TecoConfig
 from tecogan_tpu.engine import init_state, build_train_step
 
+from conftest import cached_train_step
+
 
 def tiny_cfg(**kw):
     base = dict(
@@ -28,7 +30,7 @@ def make_batch(cfg, rng, B=2):
 def test_parity_mode_never_gates_d(rng):
     cfg = tiny_cfg(bug_parity=True)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step = build_train_step(cfg, donate=False)
+    step = cached_train_step(cfg)
     lr, hr = make_batch(cfg, rng)
     _, metrics, _ = step(state, lr, hr)
     assert float(metrics["withD_counter"]) == 1.0
@@ -41,7 +43,7 @@ def test_fixed_mode_gates_d_when_winning(rng):
     (t_balance starts near 0), so the D update must be skipped."""
     cfg = tiny_cfg(bug_parity=False, Dbalance=-100.0)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step = build_train_step(cfg, donate=False)
+    step = cached_train_step(cfg)
     lr, hr = make_batch(cfg, rng)
     new_state, metrics, _ = step(state, lr, hr)
     assert float(metrics["w_o_D_counter"]) == 1.0
@@ -69,7 +71,7 @@ def test_gate_direction_tracks_t_balance(rng):
 
     def d_moved(dbalance):
         cfg = tiny_cfg(bug_parity=False, Dbalance=dbalance)
-        step = build_train_step(cfg, donate=False)
+        step = cached_train_step(cfg)
         new_state, m, _ = step(state, lr, hr)
         diffs = jax.tree.map(
             lambda a, b: float(jnp.abs(a - b).max()),
@@ -87,7 +89,7 @@ def test_gate_direction_tracks_t_balance(rng):
 def test_fixed_mode_allows_d_normally(rng):
     cfg = tiny_cfg(bug_parity=False, Dbalance=0.4)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step = build_train_step(cfg, donate=False)
+    step = cached_train_step(cfg)
     lr, hr = make_batch(cfg, rng)
     new_state, metrics, _ = step(state, lr, hr)
     assert float(metrics["withD_counter"]) == 1.0

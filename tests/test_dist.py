@@ -16,6 +16,8 @@ from tecogan_tpu.parallel import (
     shard_batch,
 )
 
+from conftest import cached_clip_inference, cached_train_step
+
 
 def cfg8(**kw):
     base = dict(
@@ -60,7 +62,7 @@ def test_dp_and_slice_mesh_match_single_device():
     lr_np = rng.random((4, 3, 3, 8, 8)).astype(np.float32)
     hr_np = rng.random((4, 3, 3, 32, 32)).astype(np.float32)
 
-    single = build_train_step(cfg, donate=False)
+    single = cached_train_step(cfg)
     s1 = init_state(cfg, jax.random.PRNGKey(0))
     s1b, m1, _ = single(s1, jnp.asarray(lr_np), jnp.asarray(hr_np))
 
@@ -103,7 +105,7 @@ def test_dp_matches_single_device(batch8):
     cfg = cfg8()
     lr_np, hr_np = batch8
 
-    single = build_train_step(cfg, donate=False)
+    single = cached_train_step(cfg)
     s1 = init_state(cfg, jax.random.PRNGKey(0))
     s1b, m1, _ = single(s1, jnp.asarray(lr_np), jnp.asarray(hr_np))
 
@@ -150,7 +152,7 @@ def test_dp_inference_matches_single_device():
     rng = np.random.default_rng(1)
     clips = rng.random((8, 4, 16, 16, 3)).astype(np.float32)
 
-    single = build_clip_inference(cfg)
+    single = cached_clip_inference(cfg)
     ref = np.concatenate(
         [np.asarray(single(state.params_g, jnp.asarray(clips[i : i + 1])))
          for i in range(8)]
@@ -203,7 +205,7 @@ def test_tp_channel_sharded_step_matches_single_device(batch8):
     cfg = cfg8()
     init = init_state(cfg, jax.random.PRNGKey(0))
 
-    ref_step = build_train_step(cfg, donate=False)
+    ref_step = cached_train_step(cfg)
     lr, hr = batch8
     ref_state, ref_m, _ = ref_step(init, jnp.asarray(lr), jnp.asarray(hr))
 

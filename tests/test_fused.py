@@ -253,9 +253,10 @@ def test_conv_out_s2d_matches_direct(rng):
     """Both s2d conv_out formulations (production identity-conv and the
     attic stride-4 retile) must be exactly the s2d of the direct 3x3
     conv + sigmoid."""
-    from tecogan_tpu.engine.fused import (
-        retile_conv_out_s2d, conv_out_s2d, conv_out_s2d_stride4, s2d_to_frame,
+    from tecogan_tpu.engine.attic import (
+        conv_out_s2d_stride4, retile_conv_out_s2d,
     )
+    from tecogan_tpu.engine.fused import conv_out_s2d, s2d_to_frame
 
     feat = jnp.asarray(rng.random((1, 16, 24, 64)).astype(np.float32))
     k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 3)).astype(np.float32))
@@ -279,7 +280,8 @@ def test_conv_out_s2d_phase_matches_direct(rng):
     DESIGN.md round-4 negative results) performs the identical
     multiply-adds: s2d-first + dense LR-resolution 1024->48 conv must
     equal the direct formulation to accumulation-order tolerance."""
-    from tecogan_tpu.engine.fused import conv_out_s2d, conv_out_s2d_phase
+    from tecogan_tpu.engine.attic import conv_out_s2d_phase
+    from tecogan_tpu.engine.fused import conv_out_s2d
 
     feat = jnp.asarray(rng.random((2, 16, 24, 64)).astype(np.float32))
     k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 64, 3)).astype(np.float32))

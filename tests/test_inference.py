@@ -15,6 +15,8 @@ from tecogan_tpu.engine import (
 from tecogan_tpu.engine.losses import generator_unroll
 from tecogan_tpu.engine.state import model_defs
 
+from conftest import cached_clip_inference
+
 
 def small_cfg(**kw):
     base = dict(crop_size=8, num_resblock=2, precision="fp32", jit=True)
@@ -25,7 +27,7 @@ def small_cfg(**kw):
 def test_clip_inference_shapes(rng):
     cfg = small_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
-    infer = build_clip_inference(cfg)
+    infer = cached_clip_inference(cfg)
     clip = jnp.asarray(rng.random((2, 5, 8, 8, 3)).astype(np.float32))
     sr = infer(state.params_g, clip)
     assert sr.shape == (2, 5, 32, 32, 3)
@@ -38,7 +40,7 @@ def test_clip_inference_nonsquare(rng):
     path itself is shape-agnostic)."""
     cfg = small_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
-    infer = build_clip_inference(cfg)
+    infer = cached_clip_inference(cfg)
     clip = jnp.asarray(rng.random((1, 3, 6, 10, 3)).astype(np.float32))
     sr = infer(state.params_g, clip)
     assert sr.shape == (1, 3, 24, 40, 3)
@@ -47,7 +49,7 @@ def test_clip_inference_nonsquare(rng):
 def test_stream_matches_scan(rng):
     cfg = small_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
-    infer = build_clip_inference(cfg)
+    infer = cached_clip_inference(cfg)
     init_fn, step = build_stream_inference(cfg)
 
     clip = jnp.asarray(rng.random((1, 6, 8, 8, 3)).astype(np.float32))
@@ -69,7 +71,7 @@ def test_stream_matches_scan_fused(rng):
     gets the 38-fps path, not the reference-shaped one) — bit-equal."""
     cfg = small_cfg(bug_parity=False)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    infer = build_clip_inference(cfg)
+    infer = cached_clip_inference(cfg)
     init_fn, step = build_stream_inference(cfg)
 
     clip = jnp.asarray(rng.random((1, 6, 8, 8, 3)).astype(np.float32))
@@ -89,7 +91,7 @@ def test_stream_matches_scan_fused_nhwc(rng):
     match its scan path bit-for-bit."""
     cfg = small_cfg(bug_parity=False, warp_group=2)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    infer = build_clip_inference(cfg)
+    infer = cached_clip_inference(cfg)
     init_fn, step = build_stream_inference(cfg)
 
     clip = jnp.asarray(rng.random((1, 4, 8, 8, 3)).astype(np.float32))
@@ -114,7 +116,7 @@ def test_inference_matches_training_unroll(rng):
     clip_nhwc = jnp.asarray(rng.random((2, 5, 8, 8, 3)).astype(np.float32))
     clip_nchw = jnp.transpose(clip_nhwc, (0, 1, 4, 2, 3))
 
-    infer = build_clip_inference(cfg)
+    infer = cached_clip_inference(cfg)
     sr_inf = infer(state.params_g, clip_nhwc)  # (B,T,4H,4W,3)
 
     unroll = generator_unroll(gen, state.params_g, clip_nchw, cfg)
@@ -133,7 +135,7 @@ def test_chunked_matches_one_shot_exact_path(rng):
     cfg = small_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
     clip = jnp.asarray(rng.random((2, 11, 8, 8, 3)).astype(np.float32))
-    one_shot = np.asarray(build_clip_inference(cfg)(state.params_g, clip))
+    one_shot = np.asarray(cached_clip_inference(cfg)(state.params_g, clip))
     chunked = build_chunked_inference(cfg)(state.params_g, clip, chunk=4)
     assert chunked.shape == one_shot.shape
     np.testing.assert_allclose(chunked, one_shot, atol=1e-6)
@@ -147,7 +149,7 @@ def test_chunked_matches_one_shot_fused_path(rng):
     cfg = small_cfg(precision="bf16", bug_parity=False)
     state = init_state(cfg, jax.random.PRNGKey(0))
     clip = jnp.asarray(rng.random((1, 10, 8, 8, 3)).astype(np.float32))
-    one_shot = np.asarray(build_clip_inference(cfg)(state.params_g, clip))
+    one_shot = np.asarray(cached_clip_inference(cfg)(state.params_g, clip))
     chunked = build_chunked_inference(cfg)(state.params_g, clip, chunk=4)
     np.testing.assert_allclose(chunked, one_shot, atol=2e-2)
     # windows must agree with the one-shot scan much more tightly than
@@ -239,7 +241,7 @@ def test_u8_transfer_inference_bitparity(rng):
     q = transfer_quantize_u8(clip_f32)
     host_deq = q.astype(np.float32) * np.float32(1.0 / 255.0)
 
-    infer = build_clip_inference(cfg)
+    infer = cached_clip_inference(cfg)
     ref = np.asarray(infer(state.params_g, jnp.asarray(host_deq)))
     via_u8 = np.asarray(infer(state.params_g, jnp.asarray(q)))
     np.testing.assert_array_equal(via_u8, ref)

@@ -17,6 +17,8 @@ from tecogan_tpu.engine.quant import (
 )
 from tecogan_tpu.engine.state import model_defs
 
+from conftest import cached_clip_inference
+
 
 def small_cfg(**kw):
     base = dict(crop_size=8, num_resblock=2, precision="fp32",
@@ -91,7 +93,7 @@ def test_quantized_clip_inference_vs_bf16(rng):
     state = init_state(cfg, jax.random.PRNGKey(0))
     clip = jnp.asarray(rng.random((1, 6, 8, 8, 3)).astype(np.float32))
 
-    sr_bf16 = np.asarray(build_clip_inference(cfg)(state.params_g, clip))
+    sr_bf16 = np.asarray(cached_clip_inference(cfg)(state.params_g, clip))
     prepare, infer = build_quantized_clip_inference(cfg)
     qtail = prepare(state.params_g, clip, frames=4)
     sr_q = np.asarray(infer(state.params_g, qtail, clip))

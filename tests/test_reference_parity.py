@@ -32,6 +32,8 @@ from tecogan_tpu.engine.inference import build_clip_inference
 from tecogan_tpu.engine.losses import tecogan_losses, discriminator_loss
 from tecogan_tpu.engine.state import model_defs
 
+from conftest import cached_train_step
+
 
 def _args_ns(cfg: TecoConfig) -> types.SimpleNamespace:
     """Mirror a TecoConfig into the reference's argparse namespace."""
@@ -306,7 +308,7 @@ def test_train_trajectory_parity_vs_reference(rng):
         opt_g=opt_g_tx.init(params_g), opt_d=opt_d_tx.init(params_d),
         step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
     )
-    step_fn = build_train_step(cfg, donate=False)
+    step_fn = cached_train_step(cfg)
     our_traj = []
     for lr, hr in batches:
         state, metrics, _ = step_fn(state, jnp.asarray(lr), jnp.asarray(hr))

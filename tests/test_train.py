@@ -12,6 +12,8 @@ from tecogan_tpu.engine import init_state, build_train_step, set_epoch
 from tecogan_tpu.engine.losses import tecogan_losses, pingpang_extend
 from tecogan_tpu.engine.state import model_defs, lr_schedule
 
+from conftest import cached_train_step
+
 
 def tiny_cfg(**kw):
     base = dict(
@@ -31,7 +33,7 @@ def make_batch(cfg, rng, B=2):
 def test_train_step_runs_and_updates(rng):
     cfg = tiny_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step_fn = build_train_step(cfg, donate=False)
+    step_fn = cached_train_step(cfg)
     lr, hr = make_batch(cfg, rng)
     new_state, metrics, gen_out = step_fn(state, lr, hr)
 
@@ -61,7 +63,7 @@ def test_metrics_names_match_reference_update_list():
     must all be emitted."""
     cfg = tiny_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step_fn = build_train_step(cfg, donate=False)
+    step_fn = cached_train_step(cfg)
     rng = np.random.default_rng(0)
     lr, hr = make_batch(cfg, rng)
     _, metrics, _ = step_fn(state, lr, hr)
@@ -130,7 +132,7 @@ def test_pingpang_extends_and_runs(rng):
 
     cfg = tiny_cfg(pingpang=True, RNN_N=3)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step_fn = build_train_step(cfg, donate=False)
+    step_fn = cached_train_step(cfg)
     lr, hr = make_batch(cfg, rng)
     _, metrics, gen_out = step_fn(state, lr, hr)
     assert "PingPang" in metrics
@@ -150,7 +152,7 @@ def test_set_epoch_changes_lr(rng):
     cfg = tiny_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
     state = set_epoch(state, 250)
-    step_fn = build_train_step(cfg, donate=False)
+    step_fn = cached_train_step(cfg)
     lr, hr = make_batch(cfg, rng)
     _, metrics, _ = step_fn(state, lr, hr)
     np.testing.assert_allclose(float(metrics["learning_rate"]), 0.8e-4, rtol=1e-6)
@@ -220,7 +222,7 @@ def test_unmerged_dt_path_runs(rng):
     # exercise the unmerged step end-to-end at 32px.
     cfg = tiny_cfg(bug_parity=False, Dt_mergeDs=False, crop_dt=1.0)
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step_fn = build_train_step(cfg, donate=False)
+    step_fn = cached_train_step(cfg)
     lr, hr = make_batch(cfg, rng)
     new_state, metrics, _ = step_fn(state, lr, hr)
     assert np.isfinite(float(metrics["gen_loss"]))
@@ -247,7 +249,7 @@ def test_multi_step_matches_sequential_single_steps(rng):
         rng.random((3, 2, cfg.RNN_N, 3, 32, 32)).astype(np.float32))
 
     s_single = init_state(cfg, jax.random.PRNGKey(0))
-    step_fn = build_train_step(cfg, donate=False)
+    step_fn = cached_train_step(cfg)
     singles = []
     for k in range(3):
         s_single, m, _ = step_fn(s_single, lr_k[k], hr_k[k])
@@ -316,7 +318,7 @@ def test_u8_batch_matches_f32_of_quantized_values(rng):
     ~1 ulp — assert tight tolerances, not bit equality."""
     cfg = tiny_cfg()
     state = init_state(cfg, jax.random.PRNGKey(0))
-    step_fn = build_train_step(cfg, donate=False)
+    step_fn = cached_train_step(cfg)
     lr_u8 = (rng.random((2, cfg.RNN_N, 3, 8, 8)) * 255).astype(np.uint8)
     hr_u8 = (rng.random((2, cfg.RNN_N, 3, 32, 32)) * 255).astype(np.uint8)
 

@@ -61,7 +61,8 @@ def main() -> None:
             padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def phase(f):
-        return fused.conv_out_s2d_phase(f, kernel, bias, jnp.bfloat16)
+        from tecogan_tpu.engine.attic import conv_out_s2d_phase
+        return conv_out_s2d_phase(f, kernel, bias, jnp.bfloat16)
 
     def pallas(f):
         return conv_out_s2d_pallas(f, kernel, bias, out_dtype=jnp.bfloat16,

@@ -59,6 +59,11 @@ def main(argv=None) -> None:
     p.add_argument("--limit_frames", type=int, default=40)
     p.add_argument("--num_resblock", type=int, default=16)
     p.add_argument("--context_note", default="")
+    p.add_argument("--train_tflop_per_step", type=float, default=3.297,
+                   help="analytic TFLOP per optimizer step for the run's "
+                        "config (utils/flops.py train_step_macs * 2; "
+                        "default = the convergence config: batch 4, crop "
+                        "32, RNN 10, ping-pong, fixed semantics)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="force a JAX backend (the image's sitecustomize "
                         "overrides JAX_PLATFORMS env with the remote-TPU "
@@ -113,6 +118,27 @@ def main(argv=None) -> None:
                     traj[key] = val
             last = rec
 
+    # wall-clock train MFU (VERDICT r4 Next #7): per-step wall time from
+    # consecutive record deltas (wall_time resets on auto-resume restarts
+    # — negative/zero deltas are dropped), against the v5e 197 TFLOP/s
+    # bf16 peak.  This is the HONEST number: it includes host data
+    # loading, H2D, and logging, not just device compute.
+    deltas = []
+    prev_wall = prev_step = None
+    with open(jsonl) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "wall_time" not in rec or "step" not in rec:
+                continue
+            if prev_wall is not None and rec["wall_time"] > prev_wall \
+                    and rec["step"] > prev_step:
+                deltas.append((rec["wall_time"] - prev_wall)
+                              / (rec["step"] - prev_step))
+            prev_wall, prev_step = rec["wall_time"], rec["step"]
+    ms_per_step = float(np.median(deltas) * 1000.0) if deltas else None
+    train_mfu = (args.train_tflop_per_step / (ms_per_step / 1000.0) / 197.0
+                 if ms_per_step else None)
+
     # 3. bicubic anchors
     anchors = {}
     for s in scenes:
@@ -140,6 +166,10 @@ def main(argv=None) -> None:
             "final_epoch": int(last.get("epoch", -1)) + 1,
             "final_step": int(last.get("step", -1)),
             "train_wall_s": round(float(last.get("wall_time", 0.0)), 1),
+            "median_ms_per_step_wall": (round(ms_per_step, 1)
+                                        if ms_per_step else None),
+            "train_mfu_wall": (round(train_mfu, 4) if train_mfu else None),
+            "train_tflop_per_step": args.train_tflop_per_step,
             "protocol": (
                 "unified train/eval degradation; LR and HR each "
                 "bilinear-resized from the source frame; "
