@@ -316,3 +316,36 @@ def test_claims_vs_artifacts():
         [sys.executable, os.path.join(root, "tools", "check_claims.py")],
         capture_output=True, text=True)
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_claims_scanner_catches_r4_drift(tmp_path):
+    """The automatic record-key scan (VERDICT r4 Weak #1: the
+    hand-maintained register missed the `_ft` drift) must flag a doc that
+    claims a key absent from the JSON it cites — including the suffix
+    form (`--record_suffix _ft`) — and pass once the key exists."""
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import check_claims as cc
+    finally:
+        _sys.path.pop(0)
+
+    md = tmp_path / "doc.md"
+    md.write_text(
+        "rows (`--record_suffix _ft`) were written to `eval/fake.json`\n"
+        "and the `ours_vs_real` record too\n")
+    claims = cc.key_claims(str(md))
+    toks = {t for _, t, _ in claims}
+    assert "_ft" in toks and "ours_vs_real" in toks
+    assert "--record_suffix" not in toks  # CLI flags never count
+
+    data = {"records": {"ours_vs_real": 1}}
+    keys = cc.all_keys(data)
+    assert cc.token_resolves(data, keys, "ours_vs_real")
+    assert not cc.token_resolves(data, keys, "_ft")  # the r4 drift
+    data["records"]["ours_vs_real_ft"] = 2
+    keys = cc.all_keys(data)
+    assert cc.token_resolves(data, keys, "_ft")  # suffix match
+    assert cc.token_resolves(data, keys, "records.ours_vs_real_ft")
